@@ -1,0 +1,509 @@
+"""Goldilocks (f64) field arithmetic, NTT, Rescue-Prime and Merkle kernels on
+JAX/XLA — the TPU compute engine.
+
+Design (TPU-first, per the Pallas guide's hardware model):
+
+- Elements are ``uint64`` arrays. The TPU has no native 64-bit integer units;
+  XLA lowers u64 arithmetic to 32-bit limb pairs on the VPU. All ops are exact
+  integer arithmetic, so results are bit-identical to the host oracle in
+  ``winterfell_tpu.math`` regardless of vectorization or sharding.
+- Multiplication computes the 128-bit product via 32-bit half-words and
+  reduces with the Goldilocks identities 2^64 ≡ 2^32 − 1 and 2^96 ≡ −1
+  (mod p). This replaces the reference's Montgomery representation
+  (math/src/field/f64/mod.rs:714-731) — Montgomery is an implementation
+  detail that never reaches proof bytes, and the direct reduction needs no
+  form conversions around the transcript.
+- The NTT is an iterative radix-2 DIT over the leading axis: one bit-reversal
+  gather, then log2(n) reshape-butterfly stages — static shapes, no
+  data-dependent control flow, everything fuses on the VPU.
+- Rescue-Prime Rp64_256 (crypto/src/hash/rescue/rp64_256/mod.rs) is
+  vectorized over rows: row hashing and the Merkle layer reduction run as
+  wide elementwise u64 ops.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from ..crypto.rescue_constants import RP64_256_ARK1, RP64_256_ARK2, RP64_256_MDS
+from ..math.fields import F64, GOLDILOCKS_P
+
+P = GOLDILOCKS_P
+_P64 = jnp.uint64(P)
+_MASK32 = jnp.uint64(0xFFFFFFFF)
+_EPS = jnp.uint64(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
+
+
+# ================================================================================
+# Base field ops (uint64 arrays, canonical representation)
+# ================================================================================
+
+
+def gl_add(a, b):
+    """(a + b) mod p, branchless (overflow adds 2^32−1, then canonicalize)."""
+    s = a + b
+    s = s + jnp.where(s < a, _EPS, jnp.uint64(0))
+    return jnp.where(s >= _P64, s - _P64, s)
+
+
+def gl_sub(a, b):
+    d = a - b
+    return jnp.where(a < b, d - _EPS, d)
+
+
+def gl_neg(a):
+    return jnp.where(a == 0, jnp.uint64(0), _P64 - a)
+
+
+def _mul_128(a, b):
+    """Full 128-bit product of u64 values as (hi, lo) u64 pair."""
+    a_lo = a & _MASK32
+    a_hi = a >> jnp.uint64(32)
+    b_lo = b & _MASK32
+    b_hi = b >> jnp.uint64(32)
+
+    t0 = a_lo * b_lo
+    t1 = a_lo * b_hi
+    t2 = a_hi * b_lo
+    t3 = a_hi * b_hi
+
+    # lo 64 bits = t0 + (t1 + t2) << 32  (with carries into hi)
+    mid = (t0 >> jnp.uint64(32)) + (t1 & _MASK32) + (t2 & _MASK32)
+    lo = (t0 & _MASK32) | (mid << jnp.uint64(32))
+    hi = t3 + (t1 >> jnp.uint64(32)) + (t2 >> jnp.uint64(32)) + (mid >> jnp.uint64(32))
+    return hi, lo
+
+
+def _reduce_128(hi, lo):
+    """Reduce hi·2^64 + lo mod p via 2^64 ≡ 2^32 − 1, 2^96 ≡ −1."""
+    hi_hi = hi >> jnp.uint64(32)
+    hi_lo = hi & _MASK32
+
+    t0 = lo - hi_hi
+    t0 = jnp.where(lo < hi_hi, t0 - _EPS, t0)
+    t1 = hi_lo * _EPS
+    t2 = t0 + t1
+    t2 = t2 + jnp.where(t2 < t0, _EPS, jnp.uint64(0))
+    return jnp.where(t2 >= _P64, t2 - _P64, t2)
+
+
+def gl_mul(a, b):
+    hi, lo = _mul_128(a, b)
+    return _reduce_128(hi, lo)
+
+
+def gl_pow_const(a, e: int):
+    """a ** e for a python-int exponent (unrolled square-and-multiply)."""
+    result = None
+    acc = a
+    while e > 0:
+        if e & 1:
+            result = acc if result is None else gl_mul(result, acc)
+        e >>= 1
+        if e:
+            acc = gl_mul(acc, acc)
+    return result if result is not None else jnp.ones_like(a)
+
+
+# ================================================================================
+# Extension field ops: arrays with trailing axis d in {1, 2, 3}
+# (reduction polys: quad x² = x − 2, cubic x³ = x + 1 — f64/mod.rs:398-499)
+# ================================================================================
+
+
+def ext_add(a, b):
+    return gl_add(a, b)
+
+
+def ext_sub(a, b):
+    return gl_sub(a, b)
+
+
+def ext_mul(a, b):
+    d = a.shape[-1]
+    if d == 1:
+        return gl_mul(a, b)
+    if d == 2:
+        a0, a1 = a[..., 0], a[..., 1]
+        b0, b1 = b[..., 0], b[..., 1]
+        t2 = gl_mul(a1, b1)
+        # x² − x + 2 = 0 → x² = x − 2: c0 = a0b0 − 2·t2, c1 = a0b1 + a1b0 + t2
+        c0 = gl_sub(gl_mul(a0, b0), gl_add(t2, t2))
+        c1 = gl_add(gl_add(gl_mul(a0, b1), gl_mul(a1, b0)), t2)
+        return jnp.stack([c0, c1], axis=-1)
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    t0 = gl_mul(a0, b0)
+    t1 = gl_add(gl_mul(a0, b1), gl_mul(a1, b0))
+    t2 = gl_add(gl_add(gl_mul(a0, b2), gl_mul(a1, b1)), gl_mul(a2, b0))
+    t3 = gl_add(gl_mul(a1, b2), gl_mul(a2, b1))
+    t4 = gl_mul(a2, b2)
+    # x³ − x − 1 = 0 → x³ = x + 1; fold x⁴ = x² + x then x³
+    t2p = gl_add(t2, t4)
+    t1p = gl_add(t1, gl_add(t3, t4))
+    t0p = gl_add(t0, t3)
+    return jnp.stack([t0p, t1p, t2p], axis=-1)
+
+
+def ext_mul_base(a, s):
+    """Extension array × base scalars (broadcast over trailing axis)."""
+    return gl_mul(a, s[..., None] if s.ndim == a.ndim - 1 else s)
+
+
+# ================================================================================
+# NTT (radix-2 DIT, natural order in/out, leading axis)
+# ================================================================================
+
+
+@lru_cache(maxsize=None)
+def _bitrev_perm(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    perm = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for i in range(logn):
+        rev = (rev << 1) | ((perm >> i) & 1)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles_np(n: int, inverse: bool) -> Tuple[np.ndarray, ...]:
+    root = F64.get_root_of_unity(n.bit_length() - 1)
+    if inverse:
+        root = pow(root, P - 2, P)
+    stages = []
+    m = 2
+    while m <= n:
+        w_m = pow(root, n // m, P)
+        half = m // 2
+        tw = np.empty(half, dtype=np.uint64)
+        acc = 1
+        for j in range(half):
+            tw[j] = acc
+            acc = acc * w_m % P
+        stages.append(tw)
+        m *= 2
+    return tuple(stages)
+
+
+def _ntt_core(a, n: int, inverse: bool):
+    """a: (n, ...) u64. Returns NTT/iNTT without the 1/n scale."""
+    if n == 1:
+        return a
+    rest = a.shape[1:]
+    a = a[jnp.asarray(_bitrev_perm(n))]
+    for tw_np in _stage_twiddles_np(n, inverse):
+        half = tw_np.shape[0]
+        m = 2 * half
+        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest))
+        blk = a.reshape((n // m, 2, half) + rest)
+        u = blk[:, 0]
+        v = gl_mul(blk[:, 1], tw)
+        a = jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=1)
+        a = a.reshape((n,) + rest)
+    return a
+
+
+@lru_cache(maxsize=None)
+def _powers_np(s: int, n: int, scale: int = 1) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    acc = scale % P
+    for i in range(n):
+        out[i] = acc
+        acc = acc * s % P
+    return out
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ntt_evaluate(coeffs, n: int):
+    return _ntt_core(coeffs, n, inverse=False)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def ntt_interpolate(evals, n: int):
+    coeffs = _ntt_core(evals, n, inverse=True)
+    inv_n = pow(n, P - 2, P)
+    return gl_mul(coeffs, jnp.uint64(inv_n))
+
+
+def _scale_by_power_series(coeffs, n: int, s: int, scale: int = 1):
+    powers = jnp.asarray(_powers_np(s, n, scale))
+    rest_dims = coeffs.ndim - 1
+    return gl_mul(coeffs, powers.reshape((n,) + (1,) * rest_dims))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def ntt_evaluate_with_offset(coeffs, n: int, offset: int, blowup: int):
+    """Coset LDE, natural order over the n·blowup domain (matches
+    winterfell_tpu.math.ntt.evaluate_poly_with_offset)."""
+    h = F64.get_root_of_unity((n * blowup).bit_length() - 1)
+    outs = []
+    for j in range(blowup):
+        s = offset * pow(h, j, P) % P
+        outs.append(_ntt_core(_scale_by_power_series(coeffs, n, s), n, inverse=False))
+    stacked = jnp.stack(outs, axis=1)  # (n, blowup, ...)
+    return stacked.reshape((n * blowup,) + coeffs.shape[1:])
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def ntt_interpolate_with_offset(evals, n: int, offset: int):
+    coeffs = ntt_interpolate(evals, n)
+    inv_offset = pow(offset % P, P - 2, P)
+    return _scale_by_power_series(coeffs, n, inv_offset)
+
+
+# ================================================================================
+# Inversion and power series
+# ================================================================================
+
+_P_MINUS_2_BITS = np.array([((P - 2) >> i) & 1 for i in range(63, -1, -1)],
+                           dtype=np.uint64)
+
+
+def gl_inv(a):
+    """a^(p−2) via in-graph square-and-multiply; inv(0) = 0 by Fermat."""
+    bits = jnp.asarray(_P_MINUS_2_BITS)
+
+    def body(i, acc):
+        acc = gl_mul(acc, acc)
+        return jnp.where(bits[i] == 1, gl_mul(acc, a), acc)
+
+    return jax.lax.fori_loop(0, 64, body, jnp.ones_like(a))
+
+
+def ext_inv(a):
+    """Inverse of extension elements (..., d) via the norm trick
+    (math/src/field/extensions/*.rs semantics)."""
+    d = a.shape[-1]
+    if d == 1:
+        return gl_inv(a)
+    if d == 2:
+        # conj(a0 + a1·x) for x² = x − 2 is (a0 + a1) − a1·x  (frobenius)
+        a0, a1 = a[..., 0], a[..., 1]
+        conj = jnp.stack([gl_add(a0, a1), gl_neg(a1)], axis=-1)
+        norm = ext_mul(a, conj)[..., 0]  # lands in the base field
+        ninv = gl_inv(norm)
+        return ext_mul_base(conj, ninv)
+    # cubic: a^(p²+p) = conj1 * conj2, norm = a * that
+    conj1 = ext_frobenius(a)
+    conj2 = ext_frobenius(conj1)
+    cc = ext_mul(conj1, conj2)
+    norm = ext_mul(a, cc)[..., 0]
+    ninv = gl_inv(norm)
+    return ext_mul_base(cc, ninv)
+
+
+@lru_cache(maxsize=None)
+def _frobenius_consts(d: int) -> np.ndarray:
+    """Matrix F with frob(a)_j = Σ_i a_i · F[i, j] (images of basis powers)."""
+    from ..math.fields import Field
+
+    field = Field(F64, d)
+    images = field._frobenius_images()
+    out = np.zeros((d, d), dtype=np.uint64)
+    for i in range(d):
+        for j in range(d):
+            out[i, j] = images[i][j]
+    return out
+
+
+def ext_frobenius(a):
+    d = a.shape[-1]
+    fr = jnp.asarray(_frobenius_consts(d))  # (d, d)
+    acc = None
+    for i in range(d):
+        term = gl_mul(a[..., i : i + 1], fr[i][None, :])
+        acc = term if acc is None else gl_add(acc, term)
+    return acc
+
+
+def gl_power_series(s: int, n: int, scale: int = 1):
+    """[scale, scale·s, scale·s², ...] as a device array (host-precomputed)."""
+    return jnp.asarray(_powers_np(s, n, scale))
+
+
+# ================================================================================
+# FRI folding (fri/src/folding/mod.rs apply_drp, device version)
+# ================================================================================
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def fri_fold(evaluations, n_fold: int, domain_offset: int, alpha):
+    """evaluations (n, d), alpha (d,) → folded (n/N, d). Same math as the
+    host apply_drp: per-row N-point iNTT over the row's coset, inverse-offset
+    scaling, Horner at α."""
+    n, d = evaluations.shape
+    rows = n // n_fold
+    transposed = evaluations.reshape(n_fold, rows, d)  # [j, i] = evals[i + j*rows]
+
+    coeffs = _ntt_core(transposed, n_fold, inverse=True)
+    inv_nf = pow(n_fold, P - 2, P)
+    coeffs = gl_mul(coeffs, jnp.uint64(inv_nf))  # (N, rows, d)
+
+    g = F64.get_root_of_unity(n.bit_length() - 1)
+    inv_offsets = gl_power_series(
+        pow(g, P - 2, P), rows, pow(domain_offset % P, P - 2, P))  # (rows,)
+
+    result = jnp.zeros((rows, d), dtype=jnp.uint64)
+    pow_acc = jnp.ones(rows, dtype=jnp.uint64)
+    alpha_b = alpha[None, :]
+    scaled = []
+    for k in range(n_fold):
+        scaled.append(gl_mul(coeffs[k], pow_acc[:, None]))
+        if k + 1 < n_fold:
+            pow_acc = gl_mul(pow_acc, inv_offsets)
+    for k in range(n_fold - 1, -1, -1):
+        result = ext_add(ext_mul(result, jnp.broadcast_to(alpha_b, result.shape)),
+                         scaled[k])
+    return result
+
+
+# ================================================================================
+# Rescue-Prime Rp64_256, vectorized over rows
+# (crypto/src/hash/rescue/rp64_256/mod.rs: state 12, rate 8, digest [4..8),
+#  7 rounds, α = 7)
+# ================================================================================
+
+_STATE_WIDTH = 12
+_RATE_START = 4
+_RATE_WIDTH = 8
+_NUM_ROUNDS = 7
+INV_ALPHA = 10540996611094048183
+
+_MDS_NP = np.array(RP64_256_MDS, dtype=np.uint64)
+_ARK1_NP = np.array(RP64_256_ARK1, dtype=np.uint64)
+_ARK2_NP = np.array(RP64_256_ARK2, dtype=np.uint64)
+
+
+def _rp_sbox(state):
+    x2 = gl_mul(state, state)
+    x4 = gl_mul(x2, x2)
+    x6 = gl_mul(x4, x2)
+    return gl_mul(x6, state)
+
+
+# INV_ALPHA bits, MSB first, for the in-graph square-and-multiply loop.
+_INV_ALPHA_BITS = np.array(
+    [(INV_ALPHA >> i) & 1 for i in range(63, -1, -1)], dtype=np.uint64)
+
+
+def _rp_inv_sbox(state):
+    """x^INV_ALPHA via a fori_loop square-and-multiply (compile-friendly:
+    64 iterations instead of ~90 unrolled multiplies)."""
+    bits = jnp.asarray(_INV_ALPHA_BITS)
+
+    def body(i, acc):
+        acc = gl_mul(acc, acc)
+        return jnp.where(bits[i] == 1, gl_mul(acc, state), acc)
+
+    return jax.lax.fori_loop(0, 64, body, jnp.ones_like(state))
+
+
+def _rp_mds(state):
+    """state: (m, 12) → MDS·state. 12×12 dot with small constants."""
+    mds = jnp.asarray(_MDS_NP)  # (12, 12)
+    acc = None
+    for k in range(_STATE_WIDTH):
+        term = gl_mul(state[:, k : k + 1], mds[:, k][None, :])
+        acc = term if acc is None else gl_add(acc, term)
+    return acc
+
+
+@jax.jit
+def rp64_permutation_rows(state):
+    """Vectorized Rescue-XLIX permutation: state (m, 12) u64, scanned over
+    the 7 rounds (rp64_256/mod.rs:299-319)."""
+    ark = jnp.stack([jnp.asarray(_ARK1_NP), jnp.asarray(_ARK2_NP)], axis=1)  # (7,2,12)
+
+    def round_fn(state, ark_r):
+        state = _rp_sbox(state)
+        state = _rp_mds(state)
+        state = gl_add(state, ark_r[0][None, :])
+        state = _rp_inv_sbox(state)
+        state = _rp_mds(state)
+        state = gl_add(state, ark_r[1][None, :])
+        return state, None
+
+    state, _ = jax.lax.scan(round_fn, state, ark)
+    return state
+
+
+@jax.jit
+def rp64_hash_rows(rows):
+    """hash_elements of each row: rows (m, k) u64 → digests (m, 4) u64
+    (rp64_256/mod.rs:183-204: capacity[0] = k, absorb in chunks of 8)."""
+    m, k = rows.shape
+    state = jnp.zeros((m, _STATE_WIDTH), dtype=jnp.uint64)
+    state = state.at[:, 0].set(jnp.uint64(k % P))
+    i = 0
+    while i < k:
+        chunk = rows[:, i : i + _RATE_WIDTH]
+        width = chunk.shape[1]
+        state = state.at[:, _RATE_START : _RATE_START + width].set(
+            gl_add(state[:, _RATE_START : _RATE_START + width], chunk))
+        state = rp64_permutation_rows(state)
+        i += _RATE_WIDTH
+    return state[:, 4:8]
+
+
+@jax.jit
+def rp64_merge_rows(left, right):
+    """merge of digest pairs: (m,4),(m,4) → (m,4) (rp64_256/mod.rs:208-221)."""
+    m = left.shape[0]
+    state = jnp.zeros((m, _STATE_WIDTH), dtype=jnp.uint64)
+    state = state.at[:, 0].set(jnp.uint64(_RATE_WIDTH))
+    state = state.at[:, 4:8].set(left)
+    state = state.at[:, 8:12].set(right)
+    state = rp64_permutation_rows(state)
+    return state[:, 4:8]
+
+
+def merkle_build_rp64(leaves):
+    """Full Merkle node array from leaf digests (m, 4): returns nodes (m, 4)
+    with the root at nodes[1] (crypto/src/merkle/mod.rs:344-368 layout).
+    Level-by-level 2-to-1 Rescue merges, each level one vectorized call."""
+    m = leaves.shape[0]
+    levels = []
+    current = rp64_merge_rows(leaves[0::2], leaves[1::2])  # (m/2, 4)
+    levels.append(current)
+    while current.shape[0] > 1:
+        current = rp64_merge_rows(current[0::2], current[1::2])
+        levels.append(current)
+    # heap layout: nodes[1] root ... nodes[m/2:m] leaf parents
+    nodes = np.zeros((m, 4), dtype=np.uint64)
+    for level in levels:
+        size = level.shape[0]
+        nodes[size : 2 * size] = np.asarray(level)
+    return nodes
+
+
+# ================================================================================
+# Host <-> device conversion helpers
+# ================================================================================
+
+
+def to_device(arr_obj: np.ndarray) -> jnp.ndarray:
+    """numpy object array of ints -> uint64 device array."""
+    return jnp.asarray(arr_obj.astype(np.uint64))
+
+
+def to_host(arr) -> np.ndarray:
+    """uint64 device array -> numpy object array of Python ints."""
+    return np.asarray(arr).astype(object)
+
+
+def digests_to_bytes(digest_rows: np.ndarray) -> List[bytes]:
+    """(m, 4) uint64 -> list of 32-byte digests (LE u64 concatenation —
+    exactly the ElementDigest byte layout)."""
+    arr = np.ascontiguousarray(digest_rows.astype("<u8"))
+    flat = arr.tobytes()
+    return [flat[i * 32 : (i + 1) * 32] for i in range(arr.shape[0])]
