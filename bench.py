@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Flagship benchmark: prove a fibonacci f64 (Goldilocks) trace end-to-end on
+the attached TPU with the device-resident GoldilocksProver, cubic extension,
+Rescue-Prime commitments (one of BASELINE.json's named configs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+
+vs_baseline compares against the closest published reference number: the
+Rescue hash-chain 2^20-step / 96-bit prove time of 50 s on an 8-core i9-9980KH
+(reference README.md table; no fibonacci timings are published). Ratio < 1
+means faster than the reference CPU baseline. Trace generation is excluded,
+matching the reference's reporting split; one warmup proof absorbs jit
+compilation (the reference's Rust is also pre-compiled).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "18"))
+
+    from winterfell_tpu.air import FieldExtension, ProofOptions
+    from winterfell_tpu.crypto.hashers import Rp64_256
+    from winterfell_tpu.examples.fibonacci import (
+        FibSmallAir,
+        FibSmallProver,
+        build_fib_trace,
+        compute_fib_term,
+    )
+    from winterfell_tpu.math.fields import F64
+    from winterfell_tpu.prover.device import GoldilocksProver
+    from winterfell_tpu.verifier import verify
+
+    n = 1 << log2_len  # trace length (rows); sequence length = 2n
+    options = ProofOptions(
+        num_queries=32, blowup_factor=8, grinding_factor=0,
+        field_extension=FieldExtension.CUBIC,
+        fri_folding_factor=8, fri_remainder_max_degree=31,
+    )
+    prover_cls = GoldilocksProver.accelerate(FibSmallProver)
+    prover = prover_cls(options, Rp64_256)
+
+    trace = build_fib_trace(F64, 2 * n)
+
+    # warmup (jit compile + twiddle caches)
+    proof = prover.prove(trace)
+
+    t0 = time.time()
+    proof = prover.prove(trace)
+    dt = time.time() - t0
+
+    # sanity: the proof must verify
+    verify(FibSmallAir, proof, compute_fib_term(F64, 2 * n), Rp64_256)
+
+    baseline_s = 50.0  # reference Rescue 2^20 96-bit prove, 8-core i9 (README.md)
+    print(json.dumps({
+        "metric": f"fib_f64_2^{log2_len}_cubic_rp64_prover_wall_clock",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(dt / baseline_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

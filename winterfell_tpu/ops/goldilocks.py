@@ -235,8 +235,21 @@ def ntt_interpolate(evals, n: int):
     return gl_mul(coeffs, jnp.uint64(inv_n))
 
 
+def _power_series_doubling(s: int, n: int, scale: int = 1):
+    """Power series built by log-doubling in-graph: no O(n) host bigint loop
+    at trace time, ~2n device muls at run time."""
+    cur = jnp.asarray(np.array([scale % P], dtype=np.uint64))
+    s_pow = s % P
+    length = 1
+    while length < n:
+        cur = jnp.concatenate([cur, gl_mul(cur, jnp.uint64(s_pow))], axis=0)
+        s_pow = s_pow * s_pow % P
+        length *= 2
+    return cur
+
+
 def _scale_by_power_series(coeffs, n: int, s: int, scale: int = 1):
-    powers = jnp.asarray(_powers_np(s, n, scale))
+    powers = _power_series_doubling(s, n, scale)
     rest_dims = coeffs.ndim - 1
     return gl_mul(coeffs, powers.reshape((n,) + (1,) * rest_dims))
 
@@ -350,7 +363,7 @@ def fri_fold(evaluations, n_fold: int, domain_offset: int, alpha):
     coeffs = gl_mul(coeffs, jnp.uint64(inv_nf))  # (N, rows, d)
 
     g = F64.get_root_of_unity(n.bit_length() - 1)
-    inv_offsets = gl_power_series(
+    inv_offsets = _power_series_doubling(
         pow(g, P - 2, P), rows, pow(domain_offset % P, P - 2, P))  # (rows,)
 
     result = jnp.zeros((rows, d), dtype=jnp.uint64)
@@ -467,21 +480,27 @@ def rp64_merge_rows(left, right):
     return state[:, 4:8]
 
 
-def merkle_build_rp64(leaves):
-    """Full Merkle node array from leaf digests (m, 4): returns nodes (m, 4)
-    with the root at nodes[1] (crypto/src/merkle/mod.rs:344-368 layout).
-    Level-by-level 2-to-1 Rescue merges, each level one vectorized call."""
-    m = leaves.shape[0]
-    levels = []
+def merkle_levels_rp64(leaves):
+    """Merkle internal levels from leaf digests (m, 4), all on device.
+
+    Returns {size: level_array} where ``level_array`` of shape (size, 4) holds
+    heap nodes [size, 2·size) — the reference layout with the root at
+    nodes[1] (crypto/src/merkle/mod.rs:344-368). Each level is one vectorized
+    2-to-1 Rescue merge; arrays stay on device for lazy per-node reads."""
+    levels = {}
     current = rp64_merge_rows(leaves[0::2], leaves[1::2])  # (m/2, 4)
-    levels.append(current)
+    levels[current.shape[0]] = current
     while current.shape[0] > 1:
         current = rp64_merge_rows(current[0::2], current[1::2])
-        levels.append(current)
-    # heap layout: nodes[1] root ... nodes[m/2:m] leaf parents
+        levels[current.shape[0]] = current
+    return levels
+
+
+def merkle_build_rp64(leaves):
+    """Full host-side Merkle node array (m, 4) — used by small trees/tests."""
+    m = leaves.shape[0]
     nodes = np.zeros((m, 4), dtype=np.uint64)
-    for level in levels:
-        size = level.shape[0]
+    for size, level in merkle_levels_rp64(leaves).items():
         nodes[size : 2 * size] = np.asarray(level)
     return nodes
 

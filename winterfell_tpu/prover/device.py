@@ -50,18 +50,40 @@ jnp = gl.jnp
 
 class _DigestView:
     """List-of-bytes view over an (n, 4) uint64 digest array (LE u64 rows are
-    exactly the ElementDigest byte layout)."""
+    exactly the ElementDigest byte layout). Works over a device array: each
+    index pulls one 32-byte row, so proof generation transfers only the few
+    hundred nodes a batch opening touches."""
 
-    __slots__ = ("arr",)
+    __slots__ = ("arr", "_n")
 
-    def __init__(self, arr: np.ndarray):
-        self.arr = np.ascontiguousarray(arr.astype("<u8"))
+    def __init__(self, arr):
+        self.arr = arr
+        self._n = arr.shape[0]
 
     def __len__(self) -> int:
-        return self.arr.shape[0]
+        return self._n
 
     def __getitem__(self, i) -> bytes:
-        return self.arr[i].tobytes()
+        return np.asarray(self.arr[i]).astype("<u8").tobytes()
+
+
+class _HeapNodesView:
+    """Heap-indexed digest view over per-level device arrays: index i in
+    [size, 2·size) reads levels[size][i − size]."""
+
+    __slots__ = ("levels", "_n")
+
+    def __init__(self, levels: dict, num_leaves: int):
+        self.levels = levels
+        self._n = num_leaves
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i) -> bytes:
+        size = 1 << (int(i).bit_length() - 1)
+        row = self.levels[size][int(i) - size]
+        return np.asarray(row).astype("<u8").tobytes()
 
 
 class PrehashedMerkleTree(MerkleTree):
@@ -228,7 +250,7 @@ class GoldilocksProver(Prover):
             evaluations = gl.fri_fold(
                 evaluations, n_fold, offset, jnp.asarray(
                     np.array(list(alpha), dtype=np.uint64)))
-            fri_layers.append((tree, np.asarray(transposed)))
+            fri_layers.append((tree, transposed))
 
         rem_n = evaluations.shape[0]
         rem_coeffs = gl.ntt_interpolate_with_offset(evaluations, rem_n, offset)
@@ -245,12 +267,12 @@ class GoldilocksProver(Prover):
         proof_layers = []
         positions = list(query_positions)
         domain_size = lde_size
-        for tree, transposed_np in fri_layers:
+        for tree, transposed in fri_layers:
             positions = fold_positions(positions, domain_size, n_fold)
             _, batch_proof = tree.prove_batch(positions)
             query_values = [
-                [tuple(int(x) for x in transposed_np[p][j]) for j in range(n_fold)]
-                for p in positions
+                [tuple(int(x) for x in row[j]) for j in range(n_fold)]
+                for row in (np.asarray(transposed[p]) for p in positions)
             ]
             proof_layers.append(
                 FriProofLayer.new(ext, query_values, batch_proof.to_bytes()))
@@ -258,15 +280,12 @@ class GoldilocksProver(Prover):
         fri_proof = FriProof.new(ext, proof_layers, remainder_poly, 1)
 
         base_field = Field(F64, 1)
-        main_lde_np = np.asarray(main_lde)
-        trace_queries = [self._query(main_tree, main_lde_np, query_positions,
+        trace_queries = [self._query(main_tree, main_lde, query_positions,
                                      base_field, 1)]
         if aux_tree is not None:
-            aux_lde_np = np.asarray(aux_lde)
-            trace_queries.append(self._query(aux_tree, aux_lde_np, query_positions,
+            trace_queries.append(self._query(aux_tree, aux_lde, query_positions,
                                              ext, d))
-        comp_lde_np = np.asarray(comp_lde)
-        constraint_queries = self._query(comp_tree, comp_lde_np, query_positions,
+        constraint_queries = self._query(comp_tree, comp_lde, query_positions,
                                          ext, d)
 
         return channel.build_proof(
@@ -278,18 +297,19 @@ class GoldilocksProver(Prover):
 
     def _commit_rows(self, rows_2d) -> PrehashedMerkleTree:
         leaves = gl.rp64_hash_rows(rows_2d)
-        leaves_np = np.asarray(leaves)
-        nodes = gl.merkle_build_rp64(leaves)
+        levels = gl.merkle_levels_rp64(leaves)
         return PrehashedMerkleTree(
-            _DigestView(leaves_np), _DigestView(nodes), self.hasher)
+            _DigestView(leaves),
+            _HeapNodesView(levels, leaves.shape[0]),
+            self.hasher)
 
     @staticmethod
-    def _query(tree, lde_np: np.ndarray, positions: List[int], field: Field,
+    def _query(tree, lde, positions: List[int], field: Field,
                d: int) -> Queries:
         _, proof = tree.prove_batch(positions)
         rows = []
         for p in positions:
-            row = lde_np[p]
+            row = np.asarray(lde[p])  # single-row device pull
             if row.ndim == 1:  # base field row (w,)
                 rows.append([(int(v),) for v in row])
             else:  # (w, d)
