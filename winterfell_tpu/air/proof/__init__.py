@@ -399,6 +399,28 @@ class Proof:
     def lde_domain_size(self) -> int:
         return self.context.lde_domain_size
 
+    def num_modulus_bits(self) -> int:
+        """Bit length of the base field modulus (context.rs:81-93)."""
+        return int.from_bytes(self.context.field_modulus_bytes, "little").bit_length()
+
+    def conjectured_security(self, hasher):
+        """(air/src/proof/mod.rs:96-103)."""
+        from ..security import ConjecturedSecurity
+
+        return ConjecturedSecurity.compute(
+            self.options, self.num_modulus_bits(), hasher.collision_resistance)
+
+    def proven_security(self, hasher):
+        """(air/src/proof/mod.rs:105-127)."""
+        from ..security import ProvenSecurity
+
+        num_trace_polys = self.trace_info.width
+        num_committed = num_trace_polys + self.options.blowup_factor
+        return ProvenSecurity.compute(
+            self.options, self.num_modulus_bits(), self.trace_info.length,
+            hasher.collision_resistance, self.context.num_constraints,
+            num_committed)
+
     def write_into(self, w: ByteWriter) -> None:
         self.context.write_into(w)
         w.write_u8(self.num_unique_queries)

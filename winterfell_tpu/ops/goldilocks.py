@@ -480,20 +480,26 @@ def rp64_merge_rows(left, right):
     return state[:, 4:8]
 
 
+@jax.jit
+def _merkle_levels_impl(leaves):
+    levels = []
+    current = rp64_merge_rows(leaves[0::2], leaves[1::2])  # (m/2, 4)
+    levels.append(current)
+    while current.shape[0] > 1:
+        current = rp64_merge_rows(current[0::2], current[1::2])
+        levels.append(current)
+    return tuple(levels)
+
+
 def merkle_levels_rp64(leaves):
     """Merkle internal levels from leaf digests (m, 4), all on device.
 
     Returns {size: level_array} where ``level_array`` of shape (size, 4) holds
     heap nodes [size, 2·size) — the reference layout with the root at
-    nodes[1] (crypto/src/merkle/mod.rs:344-368). Each level is one vectorized
-    2-to-1 Rescue merge; arrays stay on device for lazy per-node reads."""
-    levels = {}
-    current = rp64_merge_rows(leaves[0::2], leaves[1::2])  # (m/2, 4)
-    levels[current.shape[0]] = current
-    while current.shape[0] > 1:
-        current = rp64_merge_rows(current[0::2], current[1::2])
-        levels[current.shape[0]] = current
-    return levels
+    nodes[1] (crypto/src/merkle/mod.rs:344-368). The whole log₂(m)-level
+    reduction is ONE jitted program (one compile per tree size), each level a
+    vectorized 2-to-1 Rescue merge; arrays stay on device for lazy reads."""
+    return {lvl.shape[0]: lvl for lvl in _merkle_levels_impl(leaves)}
 
 
 def merkle_build_rp64(leaves):

@@ -28,7 +28,9 @@ class JaxOps:
         out[0, 0] = v % gl.P
         return gl.jnp.asarray(out)
 
-    def lift(self, e: tuple):
+    def lift(self, e):
+        if not isinstance(e, tuple):
+            return e  # already a device array (e.g. traced aux randomness)
         d = self.field.degree
         out = np.zeros((1, d), dtype=np.uint64)
         for i, v in enumerate(e):

@@ -104,36 +104,62 @@ def _gl_sum(arr, axis: int = 0):
     return arr[0]
 
 
-def _z_power_table(ext: Field, z: tuple, n: int):
-    """(n, d) device table of z^k, built by log-doubling."""
-    d = ext.degree
-    table = np.zeros((1, d), dtype=np.uint64)
-    table[0] = list(ext.one())
-    cur = jnp.asarray(table)
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _pow_table_from_jumps(jumps, n: int):
+    """(n, d) table of z^k from host-computed jumps z^(2^j) ((logn, d) array);
+    one compile per n, reused across proofs."""
+    d = jumps.shape[1]
+    one = np.zeros((1, d), dtype=np.uint64)
+    one[0, 0] = 1
+    cur = jnp.asarray(one)
+    j = 0
     length = 1
     while length < n:
-        zl = ext.exp(z, length)
-        zl_arr = jnp.asarray(np.array([list(zl)], dtype=np.uint64))
+        zl = jumps[j][None, :]
         cur = jnp.concatenate(
-            [cur, gl.ext_mul(cur, jnp.broadcast_to(zl_arr, cur.shape))], axis=0)
+            [cur, gl.ext_mul(cur, jnp.broadcast_to(zl, cur.shape))], axis=0)
+        j += 1
         length *= 2
     return cur
+
+
+def _z_power_table(ext: Field, z: tuple, n: int):
+    """(n, d) device table of z^k, built by log-doubling."""
+    logn = max((n - 1).bit_length(), 1)
+    jumps = np.zeros((logn, ext.degree), dtype=np.uint64)
+    acc = z
+    for j in range(logn):
+        jumps[j] = list(acc)
+        acc = ext.mul(acc, acc)
+    return _pow_table_from_jumps(jnp.asarray(jumps), n)
+
+
+@jax.jit
+def _eval_cols_base(polys, pows):
+    """Σ_k coeff[k]·z^k per base column: polys (n, k), pows (n, d) → (k, d)."""
+    prod = gl.gl_mul(polys[:, :, None], pows[:, None, :])
+    return _gl_sum(prod, axis=0)
+
+
+@jax.jit
+def _eval_cols_ext(polys, pows):
+    """polys (n, k, d) ext columns → (k, d)."""
+    prod = gl.ext_mul(polys, jnp.broadcast_to(pows[:, None, :], polys.shape))
+    return _gl_sum(prod, axis=0)
 
 
 def _ext_scalar(e: tuple):
     return jnp.asarray(np.array([list(e)], dtype=np.uint64))
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
 def _power_series_dev(s: int, n: int, scale: int = 1):
-    """Device power series via log-doubling (avoids O(n) host bigint loops)."""
-    cur = jnp.asarray(np.array([scale % gl.P], dtype=np.uint64))
-    length = 1
-    s_pow = s % gl.P
-    while length < n:
-        cur = jnp.concatenate([cur, gl.gl_mul(cur, jnp.uint64(s_pow))], axis=0)
-        s_pow = s_pow * s_pow % gl.P
-        length *= 2
-    return cur
+    """Device power series via log-doubling, jitted per (s, n, scale) so the
+    whole doubling chain is one program instead of eager round-trips."""
+    return gl._power_series_doubling(s, n, scale)
 
 
 class GoldilocksProver(Prover):
@@ -206,16 +232,11 @@ class GoldilocksProver(Prover):
 
         def eval_cols_at(polys, pows):
             # polys (n, k) base or (n, k, d) ext; returns list of ext tuples
-            out = []
             if polys.ndim == 2:
-                for c in range(polys.shape[1]):
-                    acc = _gl_sum(gl.ext_mul_base(pows, polys[:, c]))
-                    out.append(tuple(int(x) for x in np.asarray(acc)))
+                res = np.asarray(_eval_cols_base(polys, pows))
             else:
-                for c in range(polys.shape[1]):
-                    acc = _gl_sum(gl.ext_mul(pows, polys[:, c]))
-                    out.append(tuple(int(x) for x in np.asarray(acc)))
-            return out
+                res = np.asarray(_eval_cols_ext(polys, pows))
+            return [tuple(int(x) for x in row) for row in res]
 
         trace_cur = eval_cols_at(main_polys, z_pows)
         trace_nxt = eval_cols_at(main_polys, zg_pows)
@@ -320,18 +341,16 @@ class GoldilocksProver(Prover):
 
     def _evaluate_constraints(self, air, main_lde, aux_lde, aux_rand_elements,
                               ccs):
-        """Device mirror of prover/evaluator.py: one jit over the CE domain."""
+        """Device mirror of prover/evaluator.py: one jitted program over the
+        CE domain. Per-proof values (composition coefficients, aux randomness,
+        boundary values) are traced arguments, so repeated proofs of the same
+        AIR shape reuse the compiled executable."""
         ext = air.ext_field
         d = ext.degree
-        n = air.trace_length
         blowup = air.options.blowup_factor
         ce_blowup = air.ce_blowup_factor
-        ce = air.context.ce_domain_size
-        offset = air.domain_offset
         stride = blowup // ce_blowup
-        p = gl.P
 
-        # CE-domain trace values: stride-slice of the LDE
         main_ce = main_lde[::stride]
         main_ce_next = jnp.roll(main_ce, -ce_blowup, axis=0)
         aux_ce = aux_ce_next = None
@@ -339,41 +358,81 @@ class GoldilocksProver(Prover):
             aux_ce = aux_lde[::stride]
             aux_ce_next = jnp.roll(aux_ce, -ce_blowup, axis=0)
 
-        # periodic values over the CE domain (device, tiled)
+        boundary = air.get_boundary_constraints(aux_rand_elements, ccs.boundary)
+
+        # traced per-proof inputs
+        t_ccs_arr = jnp.asarray(
+            np.array([list(cc) for cc in ccs.transition], dtype=np.uint64))
+        aux_rand_arr = None
+        if aux_rand_elements is not None:
+            aux_rand_arr = jnp.asarray(
+                np.array([list(e) for e in aux_rand_elements], dtype=np.uint64))
+
+        def pack_groups(groups):
+            ccs_out, vals_out = [], []
+            for g in groups:
+                ccs_out.append(jnp.asarray(
+                    np.array([list(c.cc) for c in g.constraints], dtype=np.uint64)))
+                vals = []
+                for c in g.constraints:
+                    assert len(c.poly) == 1, (
+                        "sequence boundary assertions not yet supported on the "
+                        "device prover; use the host prover"
+                    )
+                    row = list(c.poly[0])
+                    vals.append(row + [0] * (d - len(row)))
+                vals_out.append(jnp.asarray(np.array(vals, dtype=np.uint64)))
+            return ccs_out, vals_out
+
+        b_main_ccs, b_main_vals = pack_groups(boundary.main_groups)
+        b_aux_ccs, b_aux_vals = pack_groups(boundary.aux_groups)
+
+        fn = self._get_ce_fn(air, boundary, d)
+        return fn(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs_arr,
+                  aux_rand_arr, b_main_ccs, b_main_vals, b_aux_ccs, b_aux_vals)
+
+    def _get_ce_fn(self, air, boundary, d: int):
+        """Builds (and caches) the jitted CE-domain evaluation program."""
+        ce = air.context.ce_domain_size
+        n = air.trace_length
+        offset = air.domain_offset
+        ce_blowup = air.ce_blowup_factor
+        ext = air.ext_field
+        p = gl.P
+        n_main = len(air.context.main_degrees)
+
+        key = (type(air), n, ce, d, len(boundary.main_groups),
+               len(boundary.aux_groups))
+        cached = getattr(self, "_ce_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        # static per-domain constants (stable across proofs → cache-friendly)
         periodic_dev = []
         for poly in air.get_periodic_column_polys():
             c = len(poly)
             coeffs = np.array(poly, dtype=np.uint64)[:, None]
             vals = host_ntt.evaluate_poly_with_offset(
                 F64, coeffs.astype(object), pow(offset, n // c, p), ce_blowup)
-            arr = jnp.asarray(vals.astype(np.uint64))  # (c·ce_blowup, 1)
+            arr = jnp.asarray(vals.astype(np.uint64))
             periodic_dev.append(jnp.tile(arr, (ce // arr.shape[0], 1)))
 
-        t_ccs = ccs.transition
-        n_main = len(air.context.main_degrees)
-
-        # boundary structure (host-side; values/ccs go in as arrays)
-        boundary = air.get_boundary_constraints(aux_rand_elements, ccs.boundary)
-
-        # divisor inverses (shared across groups, device arrays)
         xs = _power_series_dev(F64.get_root_of_unity(ce.bit_length() - 1), ce,
                                offset)
         divisor = ConstraintDivisor.from_transition(
             F64, n, air.context.num_transition_exemptions)
+        # group structure: static column lists + divisor params
+        main_group_meta = [
+            ([c.column for c in g.constraints], g.divisor.numerator[0])
+            for g in boundary.main_groups
+        ]
+        aux_group_meta = [
+            ([c.column for c in g.constraints], g.divisor.numerator[0])
+            for g in boundary.aux_groups
+        ]
 
-        def transition_divisor_inv():
-            num = gl.gl_sub(gl.gl_pow_const(xs, n), jnp.uint64(1))
-            inv_num = gl.gl_inv(num)
-            exempt = jnp.ones(ce, dtype=jnp.uint64)
-            for e in divisor.exemptions:
-                exempt = gl.gl_mul(exempt, gl.gl_sub(xs, jnp.uint64(e)))
-            return gl.gl_mul(inv_num, exempt)
-
-        def boundary_divisor_inv(a: int, b0: int):
-            vals = gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0))
-            return gl.gl_inv(vals)
-
-        def run(main_ce, main_ce_next, aux_ce, aux_ce_next):
+        def run(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs,
+                aux_rands, b_main_ccs, b_main_vals, b_aux_ccs, b_aux_vals):
             base_ops = JaxOps(Field(F64, 1))
             frame = EvaluationFrame(
                 [main_ce[:, c : c + 1] for c in range(main_ce.shape[1])],
@@ -381,8 +440,9 @@ class GoldilocksProver(Prover):
             main_evals = air.evaluate_transition(frame, periodic_dev, base_ops)
 
             combined = jnp.zeros((ce, d), dtype=jnp.uint64)
-            for ev, cc in zip(main_evals, t_ccs[:n_main]):
-                combined = gl.ext_add(combined, gl.gl_mul(ev, _ext_scalar(cc)))
+            for i, ev in enumerate(main_evals):
+                combined = gl.ext_add(
+                    combined, gl.gl_mul(ev, t_ccs[i][None, :]))
 
             if aux_ce is not None:
                 ext_ops = JaxOps(ext)
@@ -395,124 +455,130 @@ class GoldilocksProver(Prover):
                 aux_frame = EvaluationFrame(
                     [aux_ce[:, c] for c in range(aux_ce.shape[1])],
                     [aux_ce_next[:, c] for c in range(aux_ce.shape[1])])
+                rand_list = [aux_rands[i][None, :]
+                             for i in range(aux_rands.shape[0])]
                 aux_evals = air.evaluate_aux_transition(
-                    main_frame_ext, aux_frame, periodic_ext,
-                    aux_rand_elements, ext_ops)
-                for ev, cc in zip(aux_evals, t_ccs[n_main:]):
+                    main_frame_ext, aux_frame, periodic_ext, rand_list, ext_ops)
+                for i, ev in enumerate(aux_evals):
                     combined = gl.ext_add(
                         combined,
-                        gl.ext_mul(ev, jnp.broadcast_to(_ext_scalar(cc), ev.shape)))
+                        gl.ext_mul(ev, jnp.broadcast_to(
+                            t_ccs[n_main + i][None, :], ev.shape)))
 
-            result = gl.ext_mul_base(combined, transition_divisor_inv())
+            num = gl.gl_sub(gl.gl_pow_const(xs, n), jnp.uint64(1))
+            inv_num = gl.gl_inv(num)
+            exempt = jnp.ones(ce, dtype=jnp.uint64)
+            for e in divisor.exemptions:
+                exempt = gl.gl_mul(exempt, gl.gl_sub(xs, jnp.uint64(e)))
+            result = gl.ext_mul_base(combined, gl.gl_mul(inv_num, exempt))
 
-            # boundary groups
-            for group, values_source in (
-                [(g, "main") for g in boundary.main_groups]
-                + [(g, "aux") for g in boundary.aux_groups]
-            ):
-                numer = jnp.zeros((ce, d), dtype=jnp.uint64)
-                for c in group.constraints:
-                    cc_arr = _ext_scalar(c.cc)
-                    if values_source == "main":
-                        trace_vals = main_ce[:, c.column]  # (ce,)
-                        b_vals = self._boundary_values_dev(c, ce, offset, n, 1)
-                        diff = gl.gl_sub(trace_vals, b_vals)  # (ce,)
-                        numer = gl.ext_add(numer, gl.gl_mul(diff[:, None], cc_arr))
-                    else:
-                        trace_vals = aux_ce[:, c.column]  # (ce, d)
-                        b_vals = self._boundary_values_dev(c, ce, offset, n, d)
-                        diff = gl.ext_sub(trace_vals, b_vals)
-                        numer = gl.ext_add(
-                            numer,
-                            gl.ext_mul(diff, jnp.broadcast_to(cc_arr, diff.shape)))
-                (a, b0), = group.divisor.numerator
-                result = gl.ext_add(
-                    result,
-                    gl.ext_mul_base(numer, boundary_divisor_inv(a, b0)))
+            def add_groups(meta, cc_arrs, val_arrs, trace, is_ext):
+                nonlocal result
+                for (cols, (a, b0)), cc_arr, val_arr in zip(meta, cc_arrs, val_arrs):
+                    numer = jnp.zeros((ce, d), dtype=jnp.uint64)
+                    for j, col in enumerate(cols):
+                        if is_ext:
+                            diff = gl.ext_sub(
+                                trace[:, col],
+                                jnp.broadcast_to(val_arr[j][None, :], (ce, d)))
+                            numer = gl.ext_add(numer, gl.ext_mul(
+                                diff, jnp.broadcast_to(cc_arr[j][None, :],
+                                                       diff.shape)))
+                        else:
+                            diff = gl.gl_sub(trace[:, col], val_arr[j][0])
+                            numer = gl.ext_add(
+                                numer, gl.gl_mul(diff[:, None], cc_arr[j][None, :]))
+                    div_inv = gl.gl_inv(
+                        gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
+                    result = gl.ext_add(result, gl.ext_mul_base(numer, div_inv))
+
+            add_groups(main_group_meta, b_main_ccs, b_main_vals, main_ce, False)
+            if aux_ce is not None:
+                add_groups(aux_group_meta, b_aux_ccs, b_aux_vals, aux_ce, True)
             return result
 
-        if aux_ce is None:
-            return jax.jit(lambda m, mn: run(m, mn, None, None))(
-                main_ce, main_ce_next)
-        return jax.jit(run)(main_ce, main_ce_next, aux_ce, aux_ce_next)
-
-    @staticmethod
-    def _boundary_values_dev(c, ce: int, offset: int, n: int, d: int):
-        """b_j(x·poly_offset) over the CE coset as a device array."""
-        p = gl.P
-        if len(c.poly) == 1:
-            if d == 1:
-                return jnp.full((ce,), np.uint64(c.poly[0][0] % p),
-                                dtype=jnp.uint64)
-            return jnp.broadcast_to(
-                jnp.asarray(np.array(list(c.poly[0]), dtype=np.uint64)), (ce, d))
-        # general: pad coefficients to ce and evaluate over the shifted coset
-        k = len(c.poly)
-        coeffs = np.zeros((ce, d), dtype=np.uint64)
-        for i, v in enumerate(c.poly):
-            row = list(v) if d > 1 else [v[0]]
-            coeffs[i, : len(row)] = row
-        eff_offset = offset * c.poly_offset % p
-        out = gl.ntt_evaluate_with_offset(
-            jnp.asarray(coeffs), ce, eff_offset, 1)
-        return out if d > 1 else out[:, 0]
+        fn = jax.jit(run)
+        self._ce_cache = (key, fn)
+        return fn
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _deep_evaluations(air, ext, main_lde, aux_lde, comp_lde, z, zg,
+    def _deep_evaluations(self, air, ext, main_lde, aux_lde, comp_lde, z, zg,
                           trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs):
-        """DEEP over the LDE domain: (C_z(x))/(x−z) + (C_gz(x))/(x−z·g)."""
+        """DEEP over the LDE domain: (C_z(x))/(x−z) + (C_gz(x))/(x−z·g).
+
+        All per-proof scalars (z, OOD values, DEEP coefficients) enter as
+        traced arrays; the compiled program is reused across proofs."""
         d = ext.degree
         lde_size = main_lde.shape[0]
         offset = air.domain_offset
         h = F64.get_root_of_unity(lde_size.bit_length() - 1)
         xs = _power_series_dev(h, lde_size, offset)  # (lde,)
 
-        def accumulate():
+        n_trace = len(trace_cur)
+        # adjusted OOD constants: cc_i · T_i(z), cc_i · T_i(z·g)
+        all_ccs = list(deep_ccs.trace) + list(deep_ccs.constraints)
+        all_cur = trace_cur + quot_cur
+        all_nxt = trace_nxt + quot_nxt
+        cc_arr = jnp.asarray(np.array([list(c) for c in all_ccs], dtype=np.uint64))
+        adj_z = jnp.asarray(np.array(
+            [list(ext.mul(v, c)) for v, c in zip(all_cur, all_ccs)],
+            dtype=np.uint64))
+        adj_gz = jnp.asarray(np.array(
+            [list(ext.mul(v, c)) for v, c in zip(all_nxt, all_ccs)],
+            dtype=np.uint64))
+        z_arr = jnp.asarray(np.array([list(z)], dtype=np.uint64))
+        zg_arr = jnp.asarray(np.array([list(zg)], dtype=np.uint64))
+
+        fn = self._get_deep_fn(d, lde_size, xs,
+                               aux_width=0 if aux_lde is None else aux_lde.shape[1])
+        return fn(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
+                  z_arr, zg_arr)
+
+    def _get_deep_fn(self, d: int, lde_size: int, xs, aux_width: int):
+        key = (d, lde_size, aux_width)
+        cached = getattr(self, "_deep_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        def accumulate(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
+                       z_arr, zg_arr):
             comp_z = jnp.zeros((lde_size, d), dtype=jnp.uint64)
             comp_gz = jnp.zeros((lde_size, d), dtype=jnp.uint64)
             idx = 0
-            for c in range(main_lde.shape[1]):
-                cc = _ext_scalar(deep_ccs.trace[idx])
-                term = gl.gl_mul(main_lde[:, c : c + 1], cc)  # (lde, d)
-                adj_z = _ext_scalar(ext.mul(trace_cur[idx], deep_ccs.trace[idx]))
-                adj_gz = _ext_scalar(ext.mul(trace_nxt[idx], deep_ccs.trace[idx]))
+
+            def add_term(term, idx):
+                nonlocal comp_z, comp_gz
                 comp_z = gl.ext_add(comp_z, gl.ext_sub(
-                    term, jnp.broadcast_to(adj_z, term.shape)))
+                    term, jnp.broadcast_to(adj_z[idx][None, :], term.shape)))
                 comp_gz = gl.ext_add(comp_gz, gl.ext_sub(
-                    term, jnp.broadcast_to(adj_gz, term.shape)))
+                    term, jnp.broadcast_to(adj_gz[idx][None, :], term.shape)))
+
+            for c in range(main_lde.shape[1]):
+                add_term(gl.gl_mul(main_lde[:, c : c + 1], cc_arr[idx][None, :]),
+                         idx)
                 idx += 1
             if aux_lde is not None:
                 for c in range(aux_lde.shape[1]):
-                    cc = _ext_scalar(deep_ccs.trace[idx])
-                    term = gl.ext_mul(
-                        aux_lde[:, c], jnp.broadcast_to(cc, aux_lde[:, c].shape))
-                    adj_z = _ext_scalar(ext.mul(trace_cur[idx], deep_ccs.trace[idx]))
-                    adj_gz = _ext_scalar(ext.mul(trace_nxt[idx], deep_ccs.trace[idx]))
-                    comp_z = gl.ext_add(comp_z, gl.ext_sub(
-                        term, jnp.broadcast_to(adj_z, term.shape)))
-                    comp_gz = gl.ext_add(comp_gz, gl.ext_sub(
-                        term, jnp.broadcast_to(adj_gz, term.shape)))
+                    add_term(gl.ext_mul(
+                        aux_lde[:, c],
+                        jnp.broadcast_to(cc_arr[idx][None, :],
+                                         aux_lde[:, c].shape)), idx)
                     idx += 1
             for j in range(comp_lde.shape[1]):
-                cc = _ext_scalar(deep_ccs.constraints[j])
-                term = gl.ext_mul(
-                    comp_lde[:, j], jnp.broadcast_to(cc, comp_lde[:, j].shape))
-                adj_z = _ext_scalar(ext.mul(quot_cur[j], deep_ccs.constraints[j]))
-                adj_gz = _ext_scalar(ext.mul(quot_nxt[j], deep_ccs.constraints[j]))
-                comp_z = gl.ext_add(comp_z, gl.ext_sub(
-                    term, jnp.broadcast_to(adj_z, term.shape)))
-                comp_gz = gl.ext_add(comp_gz, gl.ext_sub(
-                    term, jnp.broadcast_to(adj_gz, term.shape)))
+                add_term(gl.ext_mul(
+                    comp_lde[:, j],
+                    jnp.broadcast_to(cc_arr[idx][None, :],
+                                     comp_lde[:, j].shape)), idx)
+                idx += 1
 
             xs_ext = jnp.pad(xs[:, None], ((0, 0), (0, d - 1)))  # x as ext
-            den_z = gl.ext_sub(xs_ext, jnp.broadcast_to(_ext_scalar(z),
-                                                        xs_ext.shape))
-            den_gz = gl.ext_sub(xs_ext, jnp.broadcast_to(_ext_scalar(zg),
-                                                         xs_ext.shape))
+            den_z = gl.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
+            den_gz = gl.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
             return gl.ext_add(
                 gl.ext_mul(comp_z, gl.ext_inv(den_z)),
                 gl.ext_mul(comp_gz, gl.ext_inv(den_gz)))
 
-        return jax.jit(accumulate)()
+        fn = jax.jit(accumulate)
+        self._deep_cache = (key, fn)
+        return fn

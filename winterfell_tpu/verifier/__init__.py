@@ -18,11 +18,43 @@ from ..math import polynom, vecmath as vm
 from ..math.fields import Field
 from ..ops.host import HostOps
 
-__all__ = ["verify", "VerifierError"]
+__all__ = ["verify", "AcceptableOptions", "VerifierError"]
 
 
 class VerifierError(Exception):
     pass
+
+
+class AcceptableOptions:
+    """Protocol-parameter acceptance policy (verifier/src/lib.rs:324-362):
+    either a minimal security level (conjectured or proven) or an explicit
+    set of acceptable ProofOptions."""
+
+    def __init__(self, *, min_conjectured_security: Optional[int] = None,
+                 min_proven_security: Optional[int] = None,
+                 option_set: Optional[list] = None):
+        assert (min_conjectured_security, min_proven_security,
+                option_set).count(None) == 2, "exactly one policy must be given"
+        self.min_conjectured_security = min_conjectured_security
+        self.min_proven_security = min_proven_security
+        self.option_set = option_set
+
+    def validate(self, proof: Proof, hasher) -> None:
+        if self.min_conjectured_security is not None:
+            level = proof.conjectured_security(hasher)
+            if not level.is_at_least(self.min_conjectured_security):
+                raise VerifierError(
+                    f"insufficient conjectured security: {level.bits} < "
+                    f"{self.min_conjectured_security}")
+        elif self.min_proven_security is not None:
+            level = proof.proven_security(hasher)
+            if not level.is_at_least(self.min_proven_security):
+                raise VerifierError(
+                    f"insufficient proven security: "
+                    f"{max(level.list_decoding, level.unique_decoding)} < "
+                    f"{self.min_proven_security}")
+        elif proof.options not in self.option_set:
+            raise VerifierError("proof options not in acceptable set")
 
 
 def evaluate_constraints(air, constraint_coeffs, main_frame: EvaluationFrame,
@@ -70,9 +102,12 @@ def evaluate_constraints(air, constraint_coeffs, main_frame: EvaluationFrame,
     return result
 
 
-def verify(air_class, proof: Proof, pub_inputs, hasher) -> None:
+def verify(air_class, proof: Proof, pub_inputs, hasher,
+           acceptable_options: "AcceptableOptions | None" = None) -> None:
     """Full verification (verifier/src/lib.rs:82-318). Raises VerifierError on
     any inconsistency."""
+    if acceptable_options is not None:
+        acceptable_options.validate(proof, hasher)
     base = proof.context.base_field()
     base_field = Field(base, 1)
 
