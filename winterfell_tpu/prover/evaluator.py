@@ -161,14 +161,17 @@ class DefaultConstraintEvaluator:
 
     @staticmethod
     def _eval_value_poly_base(c, base, ce: int, offset: int) -> np.ndarray:
-        """b_j(x·poly_offset) over the CE coset, base-field polynomial."""
+        """b_j(x·poly_offset) over the CE coset, base-field polynomial.
+        Coefficients are zero-padded to the CE size so the whole evaluation is
+        one NTT instead of ce/k tiny ones."""
         p = base.p
         if len(c.poly) == 1:
             return np.full(ce, c.poly[0][0] % p, dtype=object)
-        k = len(c.poly)
-        coeffs = vm.base_asarray([v[0] for v in c.poly])[:, None]
+        coeffs = vm.zeros((ce, 1))
+        for i, v in enumerate(c.poly):
+            coeffs[i, 0] = v[0]
         evals = ntt.evaluate_poly_with_offset(
-            base, coeffs, offset * c.poly_offset % p, ce // k)
+            base, coeffs, offset * c.poly_offset % p, 1)
         return evals[:, 0]
 
     @staticmethod
@@ -179,7 +182,8 @@ class DefaultConstraintEvaluator:
             out = vm.zeros((ce, ext.degree))
             out[:] = np.array(list(c.poly[0]), dtype=object)[None, :]
             return out
-        k = len(c.poly)
-        coeffs = vm.asarray(c.poly)
+        coeffs = vm.zeros((ce, ext.degree))
+        for i, v in enumerate(c.poly):
+            coeffs[i, : len(v)] = list(v)
         return ntt.evaluate_poly_with_offset(
-            base, coeffs, offset * c.poly_offset % p, ce // k)
+            base, coeffs, offset * c.poly_offset % p, 1)
