@@ -25,6 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "18"))
 
+    # first compile over the remote-compile tunnel is slow (30-120 s per
+    # program); persist executables so repeated runs skip it entirely
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from winterfell_tpu.air import FieldExtension, ProofOptions
     from winterfell_tpu.crypto.hashers import Rp64_256
     from winterfell_tpu.examples.fibonacci import (

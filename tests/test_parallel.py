@@ -1,0 +1,61 @@
+"""Sharding tests on the virtual 8-device CPU mesh: sharded execution must be
+bit-identical to the single-device oracle (exact integer arithmetic — no
+reduction-order sensitivity)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from winterfell_tpu.math.fields import F64
+from winterfell_tpu.ops import goldilocks as gl
+from winterfell_tpu.parallel import make_mesh, ntt_six_step, sharded_commit, sharded_lde
+
+P = F64.p
+
+
+def _rand(shape, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, P - 1, size=shape, dtype=np.uint64)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("n,a", [(64, 8), (256, 16), (1024, None)])
+def test_six_step_ntt_matches_radix2(n, a):
+    x = gl.jnp.asarray(_rand((n, 2)))
+    direct = np.asarray(gl.ntt_evaluate(x, n))
+    six = np.asarray(ntt_six_step(x, n, a))
+    assert np.array_equal(direct, six)
+
+
+def test_sharded_lde_matches_single_device():
+    mesh = make_mesh()
+    n, blowup, width = 128, 4, 8  # one column per device
+    trace = _rand((n, width))
+    sharded = np.asarray(sharded_lde(mesh, gl.jnp.asarray(trace), n,
+                                     F64.generator, blowup))
+    single = np.asarray(gl.ntt_evaluate_with_offset(
+        gl.ntt_interpolate(gl.jnp.asarray(trace), n), n, F64.generator, blowup))
+    assert np.array_equal(sharded, single)
+
+
+def test_sharded_commit_root_matches_host():
+    from winterfell_tpu.crypto.hashers import Rp64_256
+    from winterfell_tpu.crypto.merkle import MerkleTree
+    from winterfell_tpu.math.fields import Field
+
+    mesh = make_mesh()
+    lde = _rand((64, 8))
+    root_dev = np.asarray(sharded_commit(mesh, gl.jnp.asarray(lde)))
+    root_bytes = np.ascontiguousarray(root_dev.astype("<u8")).tobytes()
+
+    field1 = Field(F64, 1)
+    leaves = [Rp64_256.hash_elements([(int(v),) for v in row], field1)
+              for row in lde]
+    host_tree = MerkleTree(leaves, Rp64_256)
+    assert root_bytes == host_tree.root

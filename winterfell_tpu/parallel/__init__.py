@@ -1,0 +1,121 @@
+"""Multi-chip parallelism: device meshes, sharded commitments, and the
+distributed six-step NTT.
+
+The reference's only parallelism is shared-memory rayon (SURVEY §1); its
+`PartitionOptions` column-partitioned hashing (air/src/options.rs:404-445) is
+the lone multi-device hook. Here the scaling story is TPU-native:
+
+- a 1-D ``jax.sharding.Mesh`` over chips (ICI); multi-host pods extend the
+  same mesh across hosts (DCN only carries the tiny host-side transcript),
+- **column/trace parallelism**: per-column NTTs and constraint columns are
+  embarrassingly parallel → shard the column axis,
+- **row parallelism**: row hashing and FRI folding shard the row axis,
+- the **six-step NTT** (the transpose-decomposed radix split mirrored from
+  the reference's concurrent FFT, math/src/fft/concurrent.rs:132-171) turns a
+  row-sharded length-n NTT into two batches of local NTTs separated by one
+  all-to-all transpose over ICI — the standard distributed-FFT recipe.
+
+Everything is exact integer arithmetic, so sharding cannot change a single
+proof byte; tests pin sharded results to the single-device oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..math.fields import F64
+from ..ops import goldilocks as gl
+
+__all__ = ["make_mesh", "ntt_six_step", "sharded_lde", "sharded_commit"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), axis_names=(axis,))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _six_step_core(x, n: int, a: int):
+    """Six-step NTT of length n = a·b over the leading axis (derivation in
+    module docstring; matches gl.ntt_evaluate exactly):
+
+    1. view x as (b, a): M[j2, j1] = x[j1 + a·j2]
+    2. b-point NTTs down the columns (leading axis)      [local if sharded on j1]
+    3. twiddle scale by w_n^(j1·k2)
+    4. transpose to (a, b)                               [the all-to-all]
+    5. a-point NTTs down the columns                     [local if sharded on k2]
+    6. flatten (a, b) → natural-order result
+    """
+    b = n // a
+    rest = x.shape[1:]
+    m = x.reshape((b, a) + rest)
+    y = gl._ntt_core(m, b, inverse=False)  # (b, a, ...)
+
+    root = F64.get_root_of_unity(n.bit_length() - 1)
+    # twiddle matrix w^(j1·k2) as outer power structure: row k2, col j1
+    tw_rows = gl._power_series_doubling(root, b)  # w^k2
+    # build w^(j1·k2) = (w^k2)^j1 column by column via cumulative products
+    tw = jnp.ones((b, a), dtype=jnp.uint64)
+    col = jnp.ones((b,), dtype=jnp.uint64)
+    cols = [col]
+    for _ in range(a - 1):
+        col = gl.gl_mul(col, tw_rows)
+        cols.append(col)
+    tw = jnp.stack(cols, axis=1)  # (b, a)
+    y = gl.gl_mul(y, tw.reshape((b, a) + (1,) * len(rest)))
+
+    z = jnp.swapaxes(y, 0, 1)  # (a, b, ...) — the transpose / all-to-all
+    out = gl._ntt_core(z, a, inverse=False)  # (a, b, ...)
+    return out.reshape((n,) + rest)
+
+
+def ntt_six_step(x, n: int, a: Optional[int] = None):
+    """Distributed-friendly NTT: natural order in/out, identical values to
+    ``gl.ntt_evaluate``. `a` is the outer factor (defaults to a balanced
+    split)."""
+    if a is None:
+        log_n = n.bit_length() - 1
+        a = 1 << (log_n // 2)
+    return _six_step_core(x, n, a)
+
+
+def sharded_lde(mesh: Mesh, trace, n: int, offset: int, blowup: int,
+                axis: str = "x"):
+    """Coset LDE with trace columns sharded over the mesh: each device runs
+    the NTTs for its columns; XLA keeps everything local (no collectives on
+    this path — column parallelism)."""
+    col_sharding = NamedSharding(mesh, P(None, axis))
+    trace = jax.device_put(trace, col_sharding)
+
+    @partial(jax.jit, static_argnums=(1, 2, 3),
+             in_shardings=col_sharding, out_shardings=col_sharding)
+    def run(trace, n, offset, blowup):
+        polys = gl._ntt_core(trace, n, inverse=True)
+        inv_n = pow(n, gl.P - 2, gl.P)
+        polys = gl.gl_mul(polys, jnp.uint64(inv_n))
+        return gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
+
+    return run(trace, n, offset, blowup)
+
+
+def sharded_commit(mesh: Mesh, lde, axis: str = "x"):
+    """Row-hash + Merkle-reduce a column-sharded LDE: XLA all-gathers the
+    columns per row block (the PartitionOptions-style reshuffle), then the
+    hash and the log-depth Merkle reduction run row-sharded."""
+    replicated = NamedSharding(mesh, P())
+
+    @partial(jax.jit, out_shardings=replicated)
+    def run(lde):
+        leaves = gl.rp64_hash_rows(lde)
+        levels = gl._merkle_levels_impl(leaves)
+        return levels[-1]  # the root digest (1, 4)
+
+    return run(lde)
