@@ -236,8 +236,9 @@ def ntt_interpolate(evals, n: int):
 
 
 def _power_series_doubling(s: int, n: int, scale: int = 1):
-    """Power series built by log-doubling in-graph: no O(n) host bigint loop
-    at trace time, ~2n device muls at run time."""
+    """Power series built by log-doubling in-graph. CAUTION: when every input
+    is a compile-time literal, XLA constant-folds the whole chain with its
+    slow HLO evaluator — use only with traced inputs or tiny n."""
     cur = jnp.asarray(np.array([scale % P], dtype=np.uint64))
     s_pow = s % P
     length = 1
@@ -249,7 +250,9 @@ def _power_series_doubling(s: int, n: int, scale: int = 1):
 
 
 def _scale_by_power_series(coeffs, n: int, s: int, scale: int = 1):
-    powers = _power_series_doubling(s, n, scale)
+    # host-precomputed literal (lru-cached): pure data in the graph — no
+    # in-graph compute chain for XLA's constant folder to evaluate
+    powers = jnp.asarray(_powers_np(s, n, scale))
     rest_dims = coeffs.ndim - 1
     return gl_mul(coeffs, powers.reshape((n,) + (1,) * rest_dims))
 
@@ -362,22 +365,34 @@ def fri_fold(evaluations, n_fold: int, domain_offset: int, alpha):
     inv_nf = pow(n_fold, P - 2, P)
     coeffs = gl_mul(coeffs, jnp.uint64(inv_nf))  # (N, rows, d)
 
-    g = F64.get_root_of_unity(n.bit_length() - 1)
-    inv_offsets = _power_series_doubling(
-        pow(g, P - 2, P), rows, pow(domain_offset % P, P - 2, P))  # (rows,)
+    # per-row inverse-offset powers (N, rows), host-precomputed data literal
+    inv_off_pows = jnp.asarray(
+        _fri_inv_offset_powers(n, n_fold, domain_offset % P))
 
     result = jnp.zeros((rows, d), dtype=jnp.uint64)
-    pow_acc = jnp.ones(rows, dtype=jnp.uint64)
     alpha_b = alpha[None, :]
-    scaled = []
-    for k in range(n_fold):
-        scaled.append(gl_mul(coeffs[k], pow_acc[:, None]))
-        if k + 1 < n_fold:
-            pow_acc = gl_mul(pow_acc, inv_offsets)
+    scaled = [gl_mul(coeffs[k], inv_off_pows[k][:, None]) for k in range(n_fold)]
     for k in range(n_fold - 1, -1, -1):
         result = ext_add(ext_mul(result, jnp.broadcast_to(alpha_b, result.shape)),
                          scaled[k])
     return result
+
+
+@lru_cache(maxsize=None)
+def _fri_inv_offset_powers(n: int, n_fold: int, domain_offset: int) -> np.ndarray:
+    """(N, rows) matrix of ((offset·g^i)^-1)^k for the fri_fold coefficient
+    scaling (folding/mod.rs:103-110)."""
+    rows = n // n_fold
+    g = F64.get_root_of_unity(n.bit_length() - 1)
+    inv_offsets = _powers_np(pow(g, P - 2, P), rows, pow(domain_offset, P - 2, P))
+    out = np.empty((n_fold, rows), dtype=np.uint64)
+    out[0] = 1
+    acc = np.ones(rows, dtype=object)
+    invs = inv_offsets.astype(object)
+    for k in range(1, n_fold):
+        acc = acc * invs % P
+        out[k] = acc.astype(np.uint64)
+    return out
 
 
 # ================================================================================

@@ -36,6 +36,25 @@ from ..ops import goldilocks as gl
 __all__ = ["make_mesh", "ntt_six_step", "sharded_lde", "sharded_commit"]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _six_step_twiddles(n: int, a: int) -> np.ndarray:
+    """(b, a) matrix of w_n^(j1·k2)."""
+    b = n // a
+    root = F64.get_root_of_unity(n.bit_length() - 1)
+    p = F64.p
+    out = np.empty((b, a), dtype=np.uint64)
+    for k2 in range(b):
+        w_k2 = pow(root, k2, p)
+        acc = 1
+        for j1 in range(a):
+            out[k2, j1] = acc
+            acc = acc * w_k2 % p
+    return out
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
@@ -59,17 +78,9 @@ def _six_step_core(x, n: int, a: int):
     m = x.reshape((b, a) + rest)
     y = gl._ntt_core(m, b, inverse=False)  # (b, a, ...)
 
-    root = F64.get_root_of_unity(n.bit_length() - 1)
-    # twiddle matrix w^(j1·k2) as outer power structure: row k2, col j1
-    tw_rows = gl._power_series_doubling(root, b)  # w^k2
-    # build w^(j1·k2) = (w^k2)^j1 column by column via cumulative products
-    tw = jnp.ones((b, a), dtype=jnp.uint64)
-    col = jnp.ones((b,), dtype=jnp.uint64)
-    cols = [col]
-    for _ in range(a - 1):
-        col = gl.gl_mul(col, tw_rows)
-        cols.append(col)
-    tw = jnp.stack(cols, axis=1)  # (b, a)
+    # twiddle matrix w^(j1·k2), host-precomputed as a data literal (in-graph
+    # literal-rooted chains would hit XLA's slow constant folder)
+    tw = jnp.asarray(_six_step_twiddles(n, a))
     y = gl.gl_mul(y, tw.reshape((b, a) + (1,) * len(rest)))
 
     z = jnp.swapaxes(y, 0, 1)  # (a, b, ...) — the transpose / all-to-all

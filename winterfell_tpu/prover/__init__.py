@@ -16,6 +16,7 @@ from ..crypto.merkle import MerkleTree
 from ..fri import FriOptions, FriProver
 from ..math import ntt, polynom, vecmath as vm
 from ..math.fields import Field
+from ..utils import tracing
 from .channel import ProverChannel
 from .evaluator import DefaultConstraintEvaluator
 from .trace import Trace, TraceTable
@@ -93,6 +94,7 @@ class Prover:
         pub_inputs = self.get_pub_inputs(trace)
         air = self.air_class(trace.info(), pub_inputs, self.options)
         channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
+        phases = tracing.Phases("prove")
 
         base = air.base
         p = base.p
@@ -122,10 +124,14 @@ class Prover:
             aux_committed = _CommittedMatrix(aux_lde, ext, self.hasher)
             channel.commit_trace(aux_committed.root)
 
+        phases.mark("commit_to_trace_segments", lde_domain_size=lde_domain_size)
+
         # 2 ----- evaluate constraints ---------------------------------------
         constraint_coeffs = channel.get_constraint_composition_coeffs()
         evaluator = DefaultConstraintEvaluator(air, aux_rand_elements, constraint_coeffs)
         ce_column = evaluator.evaluate(main_polys, aux_polys)  # (ce, d)
+
+        phases.mark("evaluate_constraints")
 
         # 3 ----- commit to constraint evaluations ---------------------------
         # iFFT the CE column, split into num_cols columns of trace length
@@ -138,6 +144,8 @@ class Prover:
         comp_lde = ntt.evaluate_poly_with_offset(base, comp_columns, offset, blowup)
         constraint_committed = _CommittedMatrix(comp_lde, ext, self.hasher)
         channel.commit_constraints(constraint_committed.root)
+
+        phases.mark("commit_to_constraint_evaluations")
 
         # 4 ----- build DEEP composition polynomial --------------------------
         z = channel.get_ood_point()
@@ -217,15 +225,21 @@ class Prover:
         deep_arr = vm.asarray(deep_coeffs + [ext.zero()])  # pad back to n
         deep_evaluations = ntt.evaluate_poly_with_offset(base, deep_arr, offset, blowup)
 
+        phases.mark("build_and_evaluate_deep_poly")
+
         # 6 ----- compute FRI layers ----------------------------------------
         fri_options = FriOptions(
             blowup, air.options.fri_folding_factor, air.options.fri_remainder_max_degree)
         fri_prover = FriProver(ext, fri_options, self.hasher, offset)
         fri_prover.build_layers(channel, deep_evaluations)
 
+        phases.mark("compute_fri_layers")
+
         # 7 ----- determine query positions ---------------------------------
         channel.grind_query_seed()
         query_positions = channel.get_query_positions()
+
+        phases.mark("determine_query_positions")
 
         # 8 ----- build proof object ----------------------------------------
         fri_proof = fri_prover.build_proof(query_positions)
@@ -234,5 +248,7 @@ class Prover:
             trace_queries.append(aux_committed.query(query_positions))
         constraint_queries = constraint_committed.query(query_positions)
 
-        return channel.build_proof(
+        proof = channel.build_proof(
             trace_queries, constraint_queries, fri_proof, len(query_positions))
+        phases.mark("build_proof_object")
+        return proof

@@ -40,6 +40,7 @@ from ..crypto.merkle import MerkleTree
 from ..fri import FriOptions, fold_positions
 from ..math import ntt as host_ntt
 from ..math.fields import F64, Field
+from ..utils import tracing
 from ..ops import goldilocks as gl
 from ..ops.jax_ops import JaxOps
 from . import Prover
@@ -155,11 +156,28 @@ def _ext_scalar(e: tuple):
     return jnp.asarray(np.array([list(e)], dtype=np.uint64))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
 def _power_series_dev(s: int, n: int, scale: int = 1):
-    """Device power series via log-doubling, jitted per (s, n, scale) so the
-    whole doubling chain is one program instead of eager round-trips."""
-    return gl._power_series_doubling(s, n, scale)
+    """Host-precomputed power series as a device literal (lru-cached). Data
+    only — nothing for XLA's constant folder to evaluate."""
+    return jnp.asarray(gl._powers_np(s, n, scale))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _transition_divisor_inv(xs, n: int, exemptions: tuple):
+    """1/(x^n − 1) · Π(x − e) over the CE domain. xs is a traced argument so
+    the pow/inv chains stay runtime ops (not constant-folded)."""
+    num = gl.gl_sub(gl.gl_pow_const(xs, n), jnp.uint64(1))
+    inv_num = gl.gl_inv(num)
+    exempt = jnp.ones(xs.shape[0], dtype=jnp.uint64)
+    for e in exemptions:
+        exempt = gl.gl_mul(exempt, gl.gl_sub(xs, jnp.uint64(e)))
+    return gl.gl_mul(inv_num, exempt)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _boundary_divisor_inv(xs, a: int, b0: int):
+    """1/(x^a − b0) over the CE domain (traced xs — no folding)."""
+    return gl.gl_inv(gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
 
 
 class GoldilocksProver(Prover):
@@ -179,6 +197,7 @@ class GoldilocksProver(Prover):
             "GoldilocksProver requires the Rp64_256 hasher (device row hashing)"
         )
         channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
+        phases = tracing.Phases("device_prove")
 
         ext = air.ext_field
         d = ext.degree
@@ -195,6 +214,7 @@ class GoldilocksProver(Prover):
         main_lde = gl.ntt_evaluate_with_offset(main_polys, n, offset, blowup)
         main_tree = self._commit_rows(main_lde)
         channel.commit_trace(main_tree.root)
+        phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
 
         aux_polys = None
         aux_lde = None
@@ -213,6 +233,8 @@ class GoldilocksProver(Prover):
         ccs = channel.get_constraint_composition_coeffs()
         ce_column = self._evaluate_constraints(
             air, main_lde, aux_lde, aux_rand_elements, ccs)  # (ce, d)
+        ce_column.block_until_ready()
+        phases.mark("evaluate_constraints", ce_domain_size=ce)
 
         # 3 ----- composition commitment ------------------------------------
         num_cols = air.context.num_constraint_composition_columns()
@@ -222,6 +244,7 @@ class GoldilocksProver(Prover):
         comp_lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
         comp_tree = self._commit_rows(comp_lde.reshape(lde_size, -1))
         channel.commit_constraints(comp_tree.root)
+        phases.mark("commit_to_constraint_evaluations")
 
         # 4 ----- OOD evaluations + DEEP ------------------------------------
         z = channel.get_ood_point()
@@ -252,6 +275,8 @@ class GoldilocksProver(Prover):
         deep_evaluations = self._deep_evaluations(
             air, ext, main_lde, aux_lde, comp_lde, z, zg,
             trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs)  # (lde, d)
+        deep_evaluations.block_until_ready()
+        phases.mark("build_deep_composition_poly")
 
         # 6 ----- FRI layers -------------------------------------------------
         fri_options = FriOptions(
@@ -279,10 +304,12 @@ class GoldilocksProver(Prover):
         rem_np = np.asarray(rem_coeffs[:keep])[::-1]
         remainder_poly = [tuple(int(x) for x in row) for row in rem_np]
         channel.commit_fri_layer(self.hasher.hash_elements(remainder_poly, ext))
+        phases.mark("compute_fri_layers")
 
         # 7 ----- query positions -------------------------------------------
         channel.grind_query_seed()
         query_positions = channel.get_query_positions()
+        phases.mark("determine_query_positions")
 
         # 8 ----- proof assembly --------------------------------------------
         proof_layers = []
@@ -309,8 +336,10 @@ class GoldilocksProver(Prover):
         constraint_queries = self._query(comp_tree, comp_lde, query_positions,
                                          ext, d)
 
-        return channel.build_proof(
+        proof = channel.build_proof(
             trace_queries, constraint_queries, fri_proof, len(query_positions))
+        phases.mark("build_proof_object")
+        return proof
 
     # ------------------------------------------------------------------
     # helpers
@@ -421,13 +450,18 @@ class GoldilocksProver(Prover):
                                offset)
         divisor = ConstraintDivisor.from_transition(
             F64, n, air.context.num_transition_exemptions)
-        # group structure: static column lists + divisor params
+        # divisor inverses computed once per domain via small jits with xs
+        # traced (keeps the pow/inv chains out of XLA's constant folder);
+        # the resulting arrays enter the big jit as plain data literals
+        t_div_inv = _transition_divisor_inv(xs, n, tuple(divisor.exemptions))
         main_group_meta = [
-            ([c.column for c in g.constraints], g.divisor.numerator[0])
+            ([c.column for c in g.constraints],
+             _boundary_divisor_inv(xs, *g.divisor.numerator[0]))
             for g in boundary.main_groups
         ]
         aux_group_meta = [
-            ([c.column for c in g.constraints], g.divisor.numerator[0])
+            ([c.column for c in g.constraints],
+             _boundary_divisor_inv(xs, *g.divisor.numerator[0]))
             for g in boundary.aux_groups
         ]
 
@@ -465,16 +499,11 @@ class GoldilocksProver(Prover):
                         gl.ext_mul(ev, jnp.broadcast_to(
                             t_ccs[n_main + i][None, :], ev.shape)))
 
-            num = gl.gl_sub(gl.gl_pow_const(xs, n), jnp.uint64(1))
-            inv_num = gl.gl_inv(num)
-            exempt = jnp.ones(ce, dtype=jnp.uint64)
-            for e in divisor.exemptions:
-                exempt = gl.gl_mul(exempt, gl.gl_sub(xs, jnp.uint64(e)))
-            result = gl.ext_mul_base(combined, gl.gl_mul(inv_num, exempt))
+            result = gl.ext_mul_base(combined, t_div_inv)
 
             def add_groups(meta, cc_arrs, val_arrs, trace, is_ext):
                 nonlocal result
-                for (cols, (a, b0)), cc_arr, val_arr in zip(meta, cc_arrs, val_arrs):
+                for (cols, div_inv), cc_arr, val_arr in zip(meta, cc_arrs, val_arrs):
                     numer = jnp.zeros((ce, d), dtype=jnp.uint64)
                     for j, col in enumerate(cols):
                         if is_ext:
@@ -488,8 +517,6 @@ class GoldilocksProver(Prover):
                             diff = gl.gl_sub(trace[:, col], val_arr[j][0])
                             numer = gl.ext_add(
                                 numer, gl.gl_mul(diff[:, None], cc_arr[j][None, :]))
-                    div_inv = gl.gl_inv(
-                        gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
                     result = gl.ext_add(result, gl.ext_mul_base(numer, div_inv))
 
             add_groups(main_group_meta, b_main_ccs, b_main_vals, main_ce, False)
@@ -530,19 +557,19 @@ class GoldilocksProver(Prover):
         z_arr = jnp.asarray(np.array([list(z)], dtype=np.uint64))
         zg_arr = jnp.asarray(np.array([list(zg)], dtype=np.uint64))
 
-        fn = self._get_deep_fn(d, lde_size, xs,
+        fn = self._get_deep_fn(d, lde_size,
                                aux_width=0 if aux_lde is None else aux_lde.shape[1])
         return fn(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
-                  z_arr, zg_arr)
+                  z_arr, zg_arr, xs)
 
-    def _get_deep_fn(self, d: int, lde_size: int, xs, aux_width: int):
+    def _get_deep_fn(self, d: int, lde_size: int, aux_width: int):
         key = (d, lde_size, aux_width)
         cached = getattr(self, "_deep_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
 
         def accumulate(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
-                       z_arr, zg_arr):
+                       z_arr, zg_arr, xs):
             comp_z = jnp.zeros((lde_size, d), dtype=jnp.uint64)
             comp_gz = jnp.zeros((lde_size, d), dtype=jnp.uint64)
             idx = 0
