@@ -70,10 +70,13 @@ class _CommittedMatrix:
 class Prover:
     """Subclasses define: ``options``, ``hasher``, ``get_pub_inputs(trace)``
     and the AIR class (``air_class``); Randomized AIRs also override
-    ``build_aux_trace``."""
+    ``build_aux_trace``. Set ``debug_validate=True`` to re-execute the trace
+    against the AIR before proving (the reference's debug_assertions check,
+    prover/src/lib.rs:352-356)."""
 
     air_class = None
     hasher = None
+    debug_validate = False
 
     def __init__(self, options):
         self.options = options
@@ -125,6 +128,9 @@ class Prover:
             channel.commit_trace(aux_committed.root)
 
         phases.mark("commit_to_trace_segments", lde_domain_size=lde_domain_size)
+
+        if self.debug_validate:
+            trace.validate(air)
 
         # 2 ----- evaluate constraints ---------------------------------------
         constraint_coeffs = channel.get_constraint_composition_coeffs()

@@ -32,6 +32,65 @@ class Trace:
         n = seg.shape[0]
         return list(seg[row]), list(seg[(row + 1) % n])
 
+    def validate(self, air, aux_trace=None, aux_rand_elements=None) -> None:
+        """Full re-execution check of assertions and transition constraints
+        (prover/src/trace/mod.rs:86-201) — expensive; debug use only."""
+        from ..math import vecmath as vm
+        from ..math.fields import Field
+        from ..ops.host import HostOps
+        from .evaluator import DefaultConstraintEvaluator  # noqa: F401
+
+        info = self.info()
+        n = info.length
+        seg = self.main_segment()
+
+        # assertions
+        for assertion in air.get_assertions():
+            assertion.validate_trace_width(info.main_segment_width)
+
+            def check(step, value, col=assertion.column):
+                actual = int(seg[step, col])
+                assert actual == value[0], (
+                    f"trace does not satisfy assertion main({col}, {step}) == "
+                    f"{value[0]} (found {actual})"
+                )
+
+            assertion.apply(n, check)
+        if aux_trace is not None:
+            ext = air.ext_field
+            for assertion in air.get_aux_assertions(aux_rand_elements):
+                def check_aux(step, value, col=assertion.column):
+                    actual = tuple(int(x) for x in aux_trace[step, col])
+                    assert actual == value, (
+                        f"trace does not satisfy aux assertion "
+                        f"({col}, {step}) == {value} (found {actual})"
+                    )
+
+                assertion.apply(n, check_aux)
+
+        # transition constraints over all non-exempt steps, vectorized
+        from ..air.air import EvaluationFrame
+
+        base_field = Field(air.base, 1)
+        ops = HostOps(base_field)
+        nxt = np.roll(seg, -1, axis=0)
+        frame = EvaluationFrame(
+            [seg[:, c : c + 1] for c in range(seg.shape[1])],
+            [nxt[:, c : c + 1] for c in range(seg.shape[1])])
+        # periodic values per trace step
+        periodic = []
+        for column in air.get_periodic_column_values():
+            reps = n // len(column)
+            periodic.append(np.array(column * reps, dtype=object)[:, None])
+        evals = air.evaluate_transition(frame, periodic, ops)
+        last = n - air.context.num_transition_exemptions
+        for i, ev in enumerate(evals):
+            bad = np.nonzero(ev[:last, 0])[0]
+            assert bad.size == 0, (
+                f"transition constraint {i} evaluated to a nonzero value at "
+                f"step {int(bad[0])}"
+            )
+
 
 class TraceTable(Trace):
     def __init__(self, base: BaseField, width: int, length: int, meta: bytes = b""):
@@ -105,3 +164,39 @@ class TraceTable(Trace):
             self._info.main_segment_width, self._info.length,
             aux_segment_width=aux_width, num_aux_segment_rands=num_rands,
             meta=self._info.meta)
+
+    # -- fragments (trace_table.rs:196-252): parallel trace construction ----
+
+    def fragments(self, fragment_length: int) -> List["TraceTableFragment"]:
+        """Split the trace into independent row-range fragments, each filled
+        with its own (init, update) pair — the API the reference uses for
+        rayon-parallel trace building (e.g. one fragment per Lamport
+        signature cycle). Fragments write directly into this table."""
+        assert fragment_length >= 2 and fragment_length & (fragment_length - 1) == 0
+        assert self.length % fragment_length == 0
+        return [
+            TraceTableFragment(self, i, i * fragment_length, fragment_length)
+            for i in range(self.length // fragment_length)
+        ]
+
+
+class TraceTableFragment:
+    """A mutable view over a contiguous row range (trace_table.rs:310-375)."""
+
+    def __init__(self, table: TraceTable, index: int, offset: int, length: int):
+        self.table = table
+        self._index = index
+        self.offset = offset
+        self.length = length
+
+    def index(self) -> int:
+        return self._index
+
+    def fill(self, init: Callable[[list], None],
+             update: Callable[[int, list], None]) -> None:
+        state = [0] * self.table.width
+        init(state)
+        self.table.update_row(self.offset, state)
+        for step in range(self.length - 1):
+            update(step, state)
+            self.table.update_row(self.offset + step + 1, state)
