@@ -29,25 +29,41 @@ class ProverError(Exception):
     pass
 
 
-def _hash_rows(hasher, field: Field, rows: np.ndarray) -> list:
-    """Row-wise hash_elements: (n, w) base array or (n, w, d) ext array
-    (prover/src/matrix/row_matrix.rs:184-229, partitions=1)."""
-    if rows.ndim == 2:
-        return [
-            hasher.hash_elements([(int(v),) for v in row], field)
-            for row in rows
-        ]
-    return [hasher.hash_elements(vm.totuples(row), field) for row in rows]
+def _hash_rows(hasher, field: Field, rows: np.ndarray,
+               partition_options=None) -> list:
+    """Row-wise hash_elements: (n, w) base array or (n, w, d) ext array.
+    With multiple partitions, each row is hashed in column chunks and the
+    chunk digests combined with merge_many — the reference's multi-device
+    commitment mode (prover/src/matrix/row_matrix.rs:184-229)."""
+    def row_elems(row):
+        if row.ndim == 1:
+            return [(int(v),) for v in row]
+        return [tuple(int(x) for x in e) for e in row]
+
+    num_cols = rows.shape[1]
+    psize = num_cols
+    if partition_options is not None:
+        psize = partition_options.partition_size(num_cols, field.degree)
+    if psize >= num_cols:
+        return [hasher.hash_elements(row_elems(row), field) for row in rows]
+    out = []
+    for row in rows:
+        elems = row_elems(row)
+        chunks = [elems[i : i + psize] for i in range(0, num_cols, psize)]
+        digests = [hasher.hash_elements(c, field) for c in chunks]
+        out.append(hasher.merge_many(digests))
+    return out
 
 
 class _CommittedMatrix:
     """LDE evaluations + vector commitment (TraceLde / ConstraintCommitment
     internals: prover/src/trace/trace_lde/default/mod.rs:245-305)."""
 
-    def __init__(self, lde: np.ndarray, field: Field, hasher):
+    def __init__(self, lde: np.ndarray, field: Field, hasher,
+                 partition_options=None):
         self.lde = lde
         self.field = field
-        leaves = _hash_rows(hasher, field, lde)
+        leaves = _hash_rows(hasher, field, lde, partition_options)
         self.tree = MerkleTree(leaves, hasher)
 
     @property
@@ -113,7 +129,9 @@ class Prover:
         main = trace.main_segment()
         main_polys = ntt.interpolate_poly(base, main)  # (n, w)
         main_lde = ntt.evaluate_poly_with_offset(base, main_polys, offset, blowup)
-        main_committed = _CommittedMatrix(main_lde, base_field, self.hasher)
+        part_opts = air.options.partition_options
+        main_committed = _CommittedMatrix(main_lde, base_field, self.hasher,
+                                          part_opts)
         channel.commit_trace(main_committed.root)
 
         aux_committed = None
@@ -124,7 +142,8 @@ class Prover:
             aux_trace = self.build_aux_trace(trace, aux_rand_elements)
             aux_polys = ntt.interpolate_poly(base, aux_trace)  # (n, w_aux, d)
             aux_lde = ntt.evaluate_poly_with_offset(base, aux_polys, offset, blowup)
-            aux_committed = _CommittedMatrix(aux_lde, ext, self.hasher)
+            aux_committed = _CommittedMatrix(aux_lde, ext, self.hasher,
+                                             part_opts)
             channel.commit_trace(aux_committed.root)
 
         phases.mark("commit_to_trace_segments", lde_domain_size=lde_domain_size)
@@ -148,7 +167,8 @@ class Prover:
             [comp_coeffs_full[j * n : (j + 1) * n] for j in range(num_cols)],
             axis=1)  # (n, num_cols, d)
         comp_lde = ntt.evaluate_poly_with_offset(base, comp_columns, offset, blowup)
-        constraint_committed = _CommittedMatrix(comp_lde, ext, self.hasher)
+        constraint_committed = _CommittedMatrix(comp_lde, ext, self.hasher,
+                                                part_opts)
         channel.commit_constraints(constraint_committed.root)
 
         phases.mark("commit_to_constraint_evaluations")

@@ -198,12 +198,23 @@ def verify(air_class, proof: Proof, pub_inputs, hasher,
 
     # read queried trace/constraint states, verifying batch Merkle proofs
     # (verifier/src/channel.rs:196-272)
+    part_opts = air.options.partition_options
+
+    def _leaf_hash(row, field_: Field):
+        """Row digest, honoring partitioned hashing (row_matrix.rs:184-229)."""
+        psize = part_opts.partition_size(len(row), field_.degree)
+        if psize >= len(row):
+            return hasher.hash_elements(row, field_)
+        chunks = [row[i : i + psize] for i in range(0, len(row), psize)]
+        return hasher.merge_many(
+            [hasher.hash_elements(c, field_) for c in chunks])
+
     def read_queries(queries, field_: Field, values_per_query: int, root: bytes):
         try:
             proof_bytes, rows = queries.parse(
                 field_, lde_domain_size, len(positions), values_per_query)
             batch_proof = BatchMerkleProof.from_bytes(proof_bytes, hasher.digest_size)
-            leaves = [hasher.hash_elements(row, field_) for row in rows]
+            leaves = [_leaf_hash(row, field_) for row in rows]
             MerkleTree.verify_batch(root, positions, leaves, batch_proof, hasher)
         except VerifierError:
             raise
