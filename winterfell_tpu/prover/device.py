@@ -65,7 +65,19 @@ class _DigestView:
         return self._n
 
     def __getitem__(self, i) -> bytes:
-        return np.asarray(self.arr[i]).astype("<u8").tobytes()
+        # dynamic index: ONE gather program per array shape, not one per
+        # index value (static python-int indices would each compile their own
+        # tiny XLA program over the remote-compile tunnel)
+        row = jnp.take(self.arr, jnp.asarray(int(i)), axis=0)
+        return np.asarray(row).astype("<u8").tobytes()
+
+    def fetch(self, indexes) -> dict:
+        """Batched gather: one device call for all requested digests."""
+        if not indexes:
+            return {}
+        rows = np.asarray(jnp.take(self.arr, jnp.asarray(list(indexes)), axis=0))
+        rows = np.ascontiguousarray(rows.astype("<u8"))
+        return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
 class _HeapNodesView:
@@ -83,17 +95,88 @@ class _HeapNodesView:
 
     def __getitem__(self, i) -> bytes:
         size = 1 << (int(i).bit_length() - 1)
-        row = self.levels[size][int(i) - size]
+        row = jnp.take(self.levels[size], jnp.asarray(int(i) - size), axis=0)
         return np.asarray(row).astype("<u8").tobytes()
+
+    def fetch(self, indexes) -> dict:
+        """Batched gather, grouped by tree level."""
+        by_level: dict = {}
+        for i in indexes:
+            size = 1 << (int(i).bit_length() - 1)
+            by_level.setdefault(size, []).append(int(i))
+        out = {}
+        for size, idxs in by_level.items():
+            rows = np.asarray(jnp.take(
+                self.levels[size], jnp.asarray([i - size for i in idxs]), axis=0))
+            rows = np.ascontiguousarray(rows.astype("<u8"))
+            for k, i in enumerate(idxs):
+                out[i] = rows[k].tobytes()
+        return out
+
+
+class _RecordingView:
+    """Index-recording stand-in: logs which digests a proof pass touches."""
+
+    __slots__ = ("indexes", "_n")
+
+    def __init__(self, n: int):
+        self.indexes = set()
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i) -> bytes:
+        self.indexes.add(int(i))
+        return b""
+
+
+class _DictView:
+    __slots__ = ("data", "_n")
+
+    def __init__(self, data: dict, n: int):
+        self.data = data
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i) -> bytes:
+        return self.data[int(i)]
 
 
 class PrehashedMerkleTree(MerkleTree):
-    """MerkleTree over digests hashed on-device; reuses the host proof logic."""
+    """MerkleTree over digests hashed on-device; reuses the host proof logic.
 
-    def __init__(self, leaves_view: _DigestView, nodes_view: _DigestView, hasher):
+    ``prove_batch`` runs in two passes: a recording pass to learn which leaf
+    and node digests the Octopus algorithm touches (the access pattern depends
+    only on indexes, not values), then ONE batched device gather per array,
+    then the real pass over the prefetched bytes. This turns thousands of
+    per-digest tunnel roundtrips into a handful."""
+
+    def __init__(self, leaves_view, nodes_view, hasher):
         self.leaves = leaves_view
         self.hasher = hasher
         self.nodes = nodes_view
+
+    def prove_batch(self, indexes):
+        real_leaves, real_nodes = self.leaves, self.nodes
+        rec_leaves = _RecordingView(len(real_leaves))
+        rec_nodes = _RecordingView(len(real_nodes))
+        self.leaves, self.nodes = rec_leaves, rec_nodes
+        try:
+            super().prove_batch(indexes)
+        finally:
+            self.leaves, self.nodes = real_leaves, real_nodes
+
+        leaf_map = real_leaves.fetch(sorted(rec_leaves.indexes))
+        node_map = real_nodes.fetch(sorted(rec_nodes.indexes))
+        self.leaves = _DictView(leaf_map, len(real_leaves))
+        self.nodes = _DictView(node_map, len(real_nodes))
+        try:
+            return super().prove_batch(indexes)
+        finally:
+            self.leaves, self.nodes = real_leaves, real_nodes
 
 
 def _gl_sum(arr, axis: int = 0):
@@ -318,9 +401,11 @@ class GoldilocksProver(Prover):
         for tree, transposed in fri_layers:
             positions = fold_positions(positions, domain_size, n_fold)
             _, batch_proof = tree.prove_batch(positions)
+            rows_np = np.asarray(
+                jnp.take(transposed, jnp.asarray(positions), axis=0))
             query_values = [
                 [tuple(int(x) for x in row[j]) for j in range(n_fold)]
-                for row in (np.asarray(transposed[p]) for p in positions)
+                for row in rows_np
             ]
             proof_layers.append(
                 FriProofLayer.new(ext, query_values, batch_proof.to_bytes()))
@@ -357,9 +442,9 @@ class GoldilocksProver(Prover):
     def _query(tree, lde, positions: List[int], field: Field,
                d: int) -> Queries:
         _, proof = tree.prove_batch(positions)
+        rows_np = np.asarray(jnp.take(lde, jnp.asarray(positions), axis=0))
         rows = []
-        for p in positions:
-            row = np.asarray(lde[p])  # single-row device pull
+        for row in rows_np:
             if row.ndim == 1:  # base field row (w,)
                 rows.append([(int(v),) for v in row])
             else:  # (w, d)
