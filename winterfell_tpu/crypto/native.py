@@ -1,0 +1,72 @@
+"""ctypes bindings to the native host components (native/libwtnative.so).
+
+Builds the shared library on first import if the C toolchain is available;
+falls back silently to the pure-Python implementations otherwise. The native
+BLAKE3 accelerates the host prover's row hashing and the Fiat–Shamir
+transcript for Blake3 configs by ~2 orders of magnitude over pure Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libwtnative.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.wt_blake3.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_char_p]
+        lib.wt_blake3.restype = None
+        lib.wt_blake3_many.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                       ctypes.c_size_t, ctypes.c_char_p]
+        lib.wt_blake3_many.restype = None
+        _lib = lib
+        return lib
+    except OSError:
+        return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def blake3(data: bytes) -> bytes:
+    lib = _load()
+    assert lib is not None
+    out = ctypes.create_string_buffer(32)
+    lib.wt_blake3(data, len(data), out)
+    return out.raw
+
+
+def blake3_many(rows: bytes, num_rows: int, row_len: int) -> List[bytes]:
+    """Hash `num_rows` equal-length byte rows in one native call."""
+    lib = _load()
+    assert lib is not None
+    out = ctypes.create_string_buffer(32 * num_rows)
+    lib.wt_blake3_many(rows, num_rows, row_len, out)
+    raw = out.raw
+    return [raw[32 * i : 32 * (i + 1)] for i in range(num_rows)]

@@ -45,6 +45,25 @@ def _hash_rows(hasher, field: Field, rows: np.ndarray,
     if partition_options is not None:
         psize = partition_options.partition_size(num_cols, field.degree)
     if psize >= num_cols:
+        from ..crypto import native
+        from ..crypto.hashers import Blake3_192, Blake3_256
+
+        if native.available() and hasher in (Blake3_256, Blake3_192):
+            # byte hashers hash the canonical row bytes: serialize all rows
+            # and batch through the native C BLAKE3
+            eb = field.base.element_bytes
+            flat = rows.reshape(rows.shape[0], -1)
+            row_len = flat.shape[1] * eb
+            buf = bytearray(rows.shape[0] * row_len)
+            pos = 0
+            for row in flat:
+                for v in row:
+                    buf[pos : pos + eb] = int(v).to_bytes(eb, "little")
+                    pos += eb
+            digests = native.blake3_many(bytes(buf), rows.shape[0], row_len)
+            if hasher.digest_size != 32:
+                digests = [d[: hasher.digest_size] for d in digests]
+            return digests
         return [hasher.hash_elements(row_elems(row), field) for row in rows]
     out = []
     for row in rows:
