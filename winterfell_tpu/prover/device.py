@@ -75,8 +75,8 @@ class _DigestView:
         """Batched gather: one device call for all requested digests."""
         if not indexes:
             return {}
-        rows = np.asarray(jnp.take(self.arr, jnp.asarray(list(indexes)), axis=0))
-        rows = np.ascontiguousarray(rows.astype("<u8"))
+        indexes = list(indexes)
+        rows = np.ascontiguousarray(_padded_take(self.arr, indexes).astype("<u8"))
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
@@ -106,9 +106,8 @@ class _HeapNodesView:
             by_level.setdefault(size, []).append(int(i))
         out = {}
         for size, idxs in by_level.items():
-            rows = np.asarray(jnp.take(
-                self.levels[size], jnp.asarray([i - size for i in idxs]), axis=0))
-            rows = np.ascontiguousarray(rows.astype("<u8"))
+            rows = np.ascontiguousarray(_padded_take(
+                self.levels[size], [i - size for i in idxs]).astype("<u8"))
             for k, i in enumerate(idxs):
                 out[i] = rows[k].tobytes()
         return out
@@ -178,6 +177,19 @@ class PrehashedMerkleTree(MerkleTree):
         finally:
             self.leaves, self.nodes = real_leaves, real_nodes
 
+
+
+def _padded_take(arr, indexes):
+    """Gather rows at python-int indexes, padding the index vector to the
+    next power of two so distinct index COUNTS reuse the same compiled
+    gather (variable lengths would compile one program per count)."""
+    k = len(indexes)
+    cap = 1
+    while cap < k:
+        cap *= 2
+    padded = list(indexes) + [indexes[0]] * (cap - k)
+    rows = np.asarray(jnp.take(arr, jnp.asarray(padded), axis=0))
+    return rows[:k]
 
 def _gl_sum(arr, axis: int = 0):
     """Tree-structured modular sum along a power-of-two axis."""
@@ -401,8 +413,7 @@ class GoldilocksProver(Prover):
         for tree, transposed in fri_layers:
             positions = fold_positions(positions, domain_size, n_fold)
             _, batch_proof = tree.prove_batch(positions)
-            rows_np = np.asarray(
-                jnp.take(transposed, jnp.asarray(positions), axis=0))
+            rows_np = _padded_take(transposed, positions)
             query_values = [
                 [tuple(int(x) for x in row[j]) for j in range(n_fold)]
                 for row in rows_np
@@ -442,7 +453,7 @@ class GoldilocksProver(Prover):
     def _query(tree, lde, positions: List[int], field: Field,
                d: int) -> Queries:
         _, proof = tree.prove_batch(positions)
-        rows_np = np.asarray(jnp.take(lde, jnp.asarray(positions), axis=0))
+        rows_np = _padded_take(lde, positions)
         rows = []
         for row in rows_np:
             if row.ndim == 1:  # base field row (w,)
