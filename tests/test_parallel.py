@@ -44,6 +44,27 @@ def test_sharded_lde_matches_single_device():
     assert np.array_equal(sharded, single)
 
 
+def test_six_step_ntt_sharded_over_mesh():
+    """The six-step NTT with its middle transpose sharded over the mesh: the
+    inner/outer NTT batches are device-local, the transpose is the all-to-all.
+    Values must match the single-device radix-2 oracle bit-for-bit."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from winterfell_tpu.parallel import _six_step_core
+
+    mesh = make_mesh()
+    n, a = 1024, 32
+    x = _rand((n, 1), seed=7)
+
+    shard = NamedSharding(mesh, P("x"))
+    sharded_fn = jax.jit(_six_step_core, static_argnums=(1, 2),
+                         in_shardings=shard, out_shardings=shard)
+    got = np.asarray(sharded_fn(jax.device_put(gl.jnp.asarray(x), shard), n, a))
+    expected = np.asarray(gl.ntt_evaluate(gl.jnp.asarray(x), n))
+    assert np.array_equal(got, expected)
+
+
 def test_sharded_commit_root_matches_host():
     from winterfell_tpu.crypto.hashers import Rp64_256
     from winterfell_tpu.crypto.merkle import MerkleTree
