@@ -49,67 +49,111 @@ from .channel import ProverChannel
 jnp = gl.jnp
 
 
+def _padded_take(arr, indexes):
+    """Gather rows at python-int indexes, padding the index vector to the
+    next power of two so distinct index COUNTS reuse the same compiled
+    gather (variable lengths would compile one program per count)."""
+    k = len(indexes)
+    cap = 1
+    while cap < k:
+        cap *= 2
+    padded = list(indexes) + [indexes[0]] * (cap - k)
+    rows = np.asarray(jnp.take(arr, jnp.asarray(padded), axis=0))
+    return rows[:k]
+
+
+# every XLA program — even a one-row gather — costs a slow remote compile on
+# the axon tunnel, while plain device→host transfers compile nothing. Digest
+# reads therefore pull whole arrays once (cached on the view) below this row
+# count, and use a pow2-padded gather only for the few largest arrays.
+_PULL_THRESHOLD = 1 << 16
+
+
 class _DigestView:
     """List-of-bytes view over an (n, 4) uint64 digest array (LE u64 rows are
-    exactly the ElementDigest byte layout). Works over a device array: each
-    index pulls one 32-byte row, so proof generation transfers only the few
-    hundred nodes a batch opening touches."""
+    exactly the ElementDigest byte layout)."""
 
-    __slots__ = ("arr", "_n")
+    __slots__ = ("arr", "_n", "_host")
 
     def __init__(self, arr):
         self.arr = arr
         self._n = arr.shape[0]
+        self._host = None
 
     def __len__(self) -> int:
         return self._n
 
+    def _host_all(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.ascontiguousarray(np.asarray(self.arr).astype("<u8"))
+        return self._host
+
     def __getitem__(self, i) -> bytes:
-        # dynamic index: ONE gather program per array shape, not one per
-        # index value (static python-int indices would each compile their own
-        # tiny XLA program over the remote-compile tunnel)
-        row = jnp.take(self.arr, jnp.asarray(int(i)), axis=0)
-        return np.asarray(row).astype("<u8").tobytes()
+        if self._host is not None or self._n <= _PULL_THRESHOLD:
+            return self._host_all()[int(i)].tobytes()
+        row = _padded_take(self.arr, [int(i)])
+        return np.ascontiguousarray(row.astype("<u8"))[0].tobytes()
 
     def fetch(self, indexes) -> dict:
-        """Batched gather: one device call for all requested digests."""
+        """Batched read of the requested digests."""
         if not indexes:
             return {}
         indexes = list(indexes)
+        if self._host is not None or self._n <= _PULL_THRESHOLD:
+            host = self._host_all()
+            return {i: host[int(i)].tobytes() for i in indexes}
         rows = np.ascontiguousarray(_padded_take(self.arr, indexes).astype("<u8"))
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
 class _HeapNodesView:
     """Heap-indexed digest view over per-level device arrays: index i in
-    [size, 2·size) reads levels[size][i − size]."""
+    [size, 2·size) reads levels[size][i − size]. Levels at or below the pull
+    threshold are transferred whole and cached; in a Merkle tree the levels
+    above the threshold hold a vanishing fraction of opened nodes."""
 
-    __slots__ = ("levels", "_n")
+    __slots__ = ("levels", "_n", "_host")
 
     def __init__(self, levels: dict, num_leaves: int):
         self.levels = levels
         self._n = num_leaves
+        self._host = {}
 
     def __len__(self) -> int:
         return self._n
 
+    def _level_host(self, size: int) -> np.ndarray:
+        if size not in self._host:
+            self._host[size] = np.ascontiguousarray(
+                np.asarray(self.levels[size]).astype("<u8"))
+        return self._host[size]
+
+    def _read(self, size: int, offset: int) -> bytes:
+        if size in self._host or size <= _PULL_THRESHOLD:
+            return self._level_host(size)[offset].tobytes()
+        row = _padded_take(self.levels[size], [offset])
+        return np.ascontiguousarray(row.astype("<u8"))[0].tobytes()
+
     def __getitem__(self, i) -> bytes:
         size = 1 << (int(i).bit_length() - 1)
-        row = jnp.take(self.levels[size], jnp.asarray(int(i) - size), axis=0)
-        return np.asarray(row).astype("<u8").tobytes()
+        return self._read(size, int(i) - size)
 
     def fetch(self, indexes) -> dict:
-        """Batched gather, grouped by tree level."""
         by_level: dict = {}
         for i in indexes:
             size = 1 << (int(i).bit_length() - 1)
             by_level.setdefault(size, []).append(int(i))
         out = {}
         for size, idxs in by_level.items():
-            rows = np.ascontiguousarray(_padded_take(
-                self.levels[size], [i - size for i in idxs]).astype("<u8"))
-            for k, i in enumerate(idxs):
-                out[i] = rows[k].tobytes()
+            if size in self._host or size <= _PULL_THRESHOLD:
+                host = self._level_host(size)
+                for i in idxs:
+                    out[i] = host[i - size].tobytes()
+            else:
+                rows = np.ascontiguousarray(_padded_take(
+                    self.levels[size], [i - size for i in idxs]).astype("<u8"))
+                for k, i in enumerate(idxs):
+                    out[i] = rows[k].tobytes()
         return out
 
 
@@ -178,18 +222,6 @@ class PrehashedMerkleTree(MerkleTree):
             self.leaves, self.nodes = real_leaves, real_nodes
 
 
-
-def _padded_take(arr, indexes):
-    """Gather rows at python-int indexes, padding the index vector to the
-    next power of two so distinct index COUNTS reuse the same compiled
-    gather (variable lengths would compile one program per count)."""
-    k = len(indexes)
-    cap = 1
-    while cap < k:
-        cap *= 2
-    padded = list(indexes) + [indexes[0]] * (cap - k)
-    rows = np.asarray(jnp.take(arr, jnp.asarray(padded), axis=0))
-    return rows[:k]
 
 def _gl_sum(arr, axis: int = 0):
     """Tree-structured modular sum along a power-of-two axis."""
