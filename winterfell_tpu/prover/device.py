@@ -307,6 +307,50 @@ def _boundary_divisor_inv(xs, a: int, b0: int):
     return gl.gl_inv(gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _commit_pipeline(matrix, n: int, offset: int, blowup: int):
+    """Interpolate → coset LDE → row hash → full Merkle reduction, ONE
+    program per matrix shape (fuses four separate dispatches — fewer remote
+    compiles, fewer tunnel roundtrips)."""
+    polys = gl._ntt_core(matrix, n, inverse=True)
+    inv_n = pow(n, gl.P - 2, gl.P)
+    polys = gl.gl_mul(polys, jnp.uint64(inv_n))
+    lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    rows_2d = lde.reshape(lde.shape[0], -1)
+    leaves = gl.rp64_hash_rows(rows_2d)
+    levels = gl._merkle_levels_impl(leaves)
+    return polys, lde, leaves, levels
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
+                          num_cols: int):
+    """Composition commitment: iFFT the CE column, segment the first num_cols
+    trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash +
+    Merkle — one program."""
+    coeffs = gl.ntt_interpolate_with_offset(ce_column, ce, offset)
+    d = ce_column.shape[-1]
+    comp_columns = jnp.swapaxes(
+        coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
+    lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
+    rows_2d = lde.reshape(lde.shape[0], -1)
+    leaves = gl.rp64_hash_rows(rows_2d)
+    levels = gl._merkle_levels_impl(leaves)
+    return comp_columns, lde, leaves, levels
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _fri_layer_commit(evaluations, n_fold: int):
+    """Transpose a FRI layer into N-value rows, hash, Merkle-reduce — one
+    program per layer shape (fri/src/prover/mod.rs:202-222)."""
+    n, d = evaluations.shape
+    rows = n // n_fold
+    transposed = jnp.swapaxes(evaluations.reshape(n_fold, rows, d), 0, 1)
+    leaves = gl.rp64_hash_rows(transposed.reshape(rows, n_fold * d))
+    levels = gl._merkle_levels_impl(leaves)
+    return transposed, leaves, levels
+
+
 class GoldilocksProver(Prover):
     """Drop-in Prover for f64 AIRs with the Rp64_256 hasher. Subclass or wrap
     an existing prover class via ``accelerate``."""
@@ -337,9 +381,9 @@ class GoldilocksProver(Prover):
 
         # 1 ----- trace commitment ------------------------------------------
         main_dev = gl.to_device(trace.main_segment())  # (n, w)
-        main_polys = gl.ntt_interpolate(main_dev, n)
-        main_lde = gl.ntt_evaluate_with_offset(main_polys, n, offset, blowup)
-        main_tree = self._commit_rows(main_lde)
+        main_polys, main_lde, leaves, levels = _commit_pipeline(
+            main_dev, n, offset, blowup)
+        main_tree = self._make_tree(leaves, levels)
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
 
@@ -351,9 +395,9 @@ class GoldilocksProver(Prover):
             aux_rand_elements = air.get_aux_rand_elements(channel.public_coin)
             aux_obj = self.build_aux_trace(trace, aux_rand_elements)
             aux_dev = gl.to_device(aux_obj)  # (n, w_aux, d)
-            aux_polys = gl.ntt_interpolate(aux_dev, n)
-            aux_lde = gl.ntt_evaluate_with_offset(aux_polys, n, offset, blowup)
-            aux_tree = self._commit_rows(aux_lde.reshape(lde_size, -1))
+            aux_polys, aux_lde, leaves, levels = _commit_pipeline(
+                aux_dev, n, offset, blowup)
+            aux_tree = self._make_tree(leaves, levels)
             channel.commit_trace(aux_tree.root)
 
         # 2 ----- constraint evaluation -------------------------------------
@@ -365,11 +409,9 @@ class GoldilocksProver(Prover):
 
         # 3 ----- composition commitment ------------------------------------
         num_cols = air.context.num_constraint_composition_columns()
-        comp_coeffs = gl.ntt_interpolate_with_offset(ce_column, ce, offset)
-        comp_columns = jnp.swapaxes(
-            comp_coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)  # (n,cols,d)
-        comp_lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-        comp_tree = self._commit_rows(comp_lde.reshape(lde_size, -1))
+        comp_columns, comp_lde, leaves, levels = _comp_commit_pipeline(
+            ce_column, ce, n, offset, blowup, num_cols)
+        comp_tree = self._make_tree(leaves, levels)
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
 
@@ -413,11 +455,8 @@ class GoldilocksProver(Prover):
         fri_layers = []  # (tree, transposed_np (rows, N, d))
         evaluations = deep_evaluations
         for _ in range(fri_options.num_fri_layers(lde_size)):
-            cur_n = evaluations.shape[0]
-            rows = cur_n // n_fold
-            transposed = jnp.swapaxes(
-                evaluations.reshape(n_fold, rows, d), 0, 1)  # (rows, N, d)
-            tree = self._commit_rows(transposed.reshape(rows, n_fold * d))
+            transposed, leaves, levels = _fri_layer_commit(evaluations, n_fold)
+            tree = self._make_tree(leaves, levels)
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
             evaluations = gl.fri_fold(
@@ -476,6 +515,13 @@ class GoldilocksProver(Prover):
     def _commit_rows(self, rows_2d) -> PrehashedMerkleTree:
         leaves = gl.rp64_hash_rows(rows_2d)
         levels = gl.merkle_levels_rp64(leaves)
+        return PrehashedMerkleTree(
+            _DigestView(leaves),
+            _HeapNodesView(levels, leaves.shape[0]),
+            self.hasher)
+
+    def _make_tree(self, leaves, levels_tuple) -> PrehashedMerkleTree:
+        levels = {lvl.shape[0]: lvl for lvl in levels_tuple}
         return PrehashedMerkleTree(
             _DigestView(leaves),
             _HeapNodesView(levels, leaves.shape[0]),
