@@ -195,22 +195,44 @@ def _stage_twiddles_np(n: int, inverse: bool) -> Tuple[np.ndarray, ...]:
     return tuple(stages)
 
 
+@lru_cache(maxsize=None)
+def _master_twiddles_np(n: int, inverse: bool) -> np.ndarray:
+    root = F64.get_root_of_unity(n.bit_length() - 1)
+    if inverse:
+        root = pow(root, P - 2, P)
+    return _powers_np(root, n // 2)
+
+
 def _ntt_core(a, n: int, inverse: bool):
-    """a: (n, ...) u64. Returns NTT/iNTT without the 1/n scale."""
+    """a: (n, ...) u64 → NTT/iNTT without the 1/n scale, natural order in/out.
+
+    Constant-geometry (Pease) radix-2 DIT: after one bit-reversal gather,
+    every stage performs the SAME operation — pair (x[2i], x[2i+1]), butterfly
+    with twiddle w^((i >> (logn−1−s))·(n >> (s+1))) gathered from one master
+    table, write [u+tv ‖ u−tv]. The whole transform is one fori_loop with an
+    O(1)-size body, so the XLA program stays tiny regardless of n (the
+    unrolled form took minutes per size on the remote-compile tunnel)."""
     if n == 1:
         return a
     rest = a.shape[1:]
+    logn = n.bit_length() - 1
+    half = n // 2
     a = a[jnp.asarray(_bitrev_perm(n))]
-    for tw_np in _stage_twiddles_np(n, inverse):
-        half = tw_np.shape[0]
-        m = 2 * half
-        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest))
-        blk = a.reshape((n // m, 2, half) + rest)
-        u = blk[:, 0]
-        v = gl_mul(blk[:, 1], tw)
-        a = jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=1)
-        a = a.reshape((n,) + rest)
-    return a
+    tw_master = jnp.asarray(_master_twiddles_np(n, inverse))  # (n/2,)
+    iota = jnp.arange(half, dtype=jnp.int32)
+    rest_ones = (1,) * len(rest)
+
+    def body(s, x):
+        shift = jnp.int32(logn - 1) - s
+        stride = jnp.right_shift(jnp.int32(half), s)  # n >> (s+1)
+        idx = jnp.right_shift(iota, shift) * stride
+        tw = tw_master[idx].reshape((half,) + rest_ones)
+        pairs = x.reshape((half, 2) + rest)
+        u = pairs[:, 0]
+        v = gl_mul(pairs[:, 1], tw)
+        return jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=0)
+
+    return jax.lax.fori_loop(0, logn, body, a)
 
 
 @lru_cache(maxsize=None)
