@@ -282,14 +282,17 @@ def _scale_by_power_series(coeffs, n: int, s: int, scale: int = 1):
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def ntt_evaluate_with_offset(coeffs, n: int, offset: int, blowup: int):
     """Coset LDE, natural order over the n·blowup domain (matches
-    winterfell_tpu.math.ntt.evaluate_poly_with_offset)."""
-    h = F64.get_root_of_unity((n * blowup).bit_length() - 1)
-    outs = []
-    for j in range(blowup):
-        s = offset * pow(h, j, P) % P
-        outs.append(_ntt_core(_scale_by_power_series(coeffs, n, s), n, inverse=False))
-    stacked = jnp.stack(outs, axis=1)  # (n, blowup, ...)
-    return stacked.reshape((n * blowup,) + coeffs.shape[1:])
+    winterfell_tpu.math.ntt.evaluate_poly_with_offset).
+
+    Implemented as ONE (n·blowup)-point NTT over offset-scaled, zero-padded
+    coefficients — identical values to per-subcoset NTTs, but a single
+    uniform program instead of `blowup` inlined transforms (compile time)."""
+    big_n = n * blowup
+    scaled = _scale_by_power_series(coeffs, n, offset)
+    padded = jnp.concatenate(
+        [scaled, jnp.zeros((big_n - n,) + coeffs.shape[1:], dtype=jnp.uint64)],
+        axis=0)
+    return _ntt_core(padded, big_n, inverse=False)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -318,8 +318,7 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int):
     lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = gl.rp64_hash_rows(rows_2d)
-    levels = gl._merkle_levels_impl(leaves)
-    return polys, lde, leaves, levels
+    return polys, lde, leaves
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -335,8 +334,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
     lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = gl.rp64_hash_rows(rows_2d)
-    levels = gl._merkle_levels_impl(leaves)
-    return comp_columns, lde, leaves, levels
+    return comp_columns, lde, leaves
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -347,8 +345,7 @@ def _fri_layer_commit(evaluations, n_fold: int):
     rows = n // n_fold
     transposed = jnp.swapaxes(evaluations.reshape(n_fold, rows, d), 0, 1)
     leaves = gl.rp64_hash_rows(transposed.reshape(rows, n_fold * d))
-    levels = gl._merkle_levels_impl(leaves)
-    return transposed, leaves, levels
+    return transposed, leaves
 
 
 class GoldilocksProver(Prover):
@@ -381,9 +378,9 @@ class GoldilocksProver(Prover):
 
         # 1 ----- trace commitment ------------------------------------------
         main_dev = gl.to_device(trace.main_segment())  # (n, w)
-        main_polys, main_lde, leaves, levels = _commit_pipeline(
+        main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup)
-        main_tree = self._make_tree(leaves, levels)
+        main_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
 
@@ -395,9 +392,9 @@ class GoldilocksProver(Prover):
             aux_rand_elements = air.get_aux_rand_elements(channel.public_coin)
             aux_obj = self.build_aux_trace(trace, aux_rand_elements)
             aux_dev = gl.to_device(aux_obj)  # (n, w_aux, d)
-            aux_polys, aux_lde, leaves, levels = _commit_pipeline(
+            aux_polys, aux_lde, leaves = _commit_pipeline(
                 aux_dev, n, offset, blowup)
-            aux_tree = self._make_tree(leaves, levels)
+            aux_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
             channel.commit_trace(aux_tree.root)
 
         # 2 ----- constraint evaluation -------------------------------------
@@ -409,9 +406,9 @@ class GoldilocksProver(Prover):
 
         # 3 ----- composition commitment ------------------------------------
         num_cols = air.context.num_constraint_composition_columns()
-        comp_columns, comp_lde, leaves, levels = _comp_commit_pipeline(
+        comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols)
-        comp_tree = self._make_tree(leaves, levels)
+        comp_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
 
@@ -455,8 +452,8 @@ class GoldilocksProver(Prover):
         fri_layers = []  # (tree, transposed_np (rows, N, d))
         evaluations = deep_evaluations
         for _ in range(fri_options.num_fri_layers(lde_size)):
-            transposed, leaves, levels = _fri_layer_commit(evaluations, n_fold)
-            tree = self._make_tree(leaves, levels)
+            transposed, leaves = _fri_layer_commit(evaluations, n_fold)
+            tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
             evaluations = gl.fri_fold(
