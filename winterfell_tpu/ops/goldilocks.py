@@ -195,44 +195,94 @@ def _stage_twiddles_np(n: int, inverse: bool) -> Tuple[np.ndarray, ...]:
     return tuple(stages)
 
 
+# NTTs at or below this size use the classic unrolled form with per-stage
+# constant twiddle vectors (small graphs, no gathers); larger sizes decompose
+# via the six-step split so sub-transforms stay below this bound.
+_SMALL_NTT = 1 << 13
+
+
 @lru_cache(maxsize=None)
-def _master_twiddles_np(n: int, inverse: bool) -> np.ndarray:
+def _six_step_row_ratios(n: int, a: int, inverse: bool):
+    """Host power-series literals (w^m)^{j1} for the doubling construction of
+    the (b, a) middle twiddle matrix (m = 1, 2, 4, ...)."""
+    b = n // a
     root = F64.get_root_of_unity(n.bit_length() - 1)
     if inverse:
         root = pow(root, P - 2, P)
-    return _powers_np(root, n // 2)
+    out = []
+    m = 1
+    while m < b:
+        out.append(_powers_np(pow(root, m, P), a))
+        m *= 2
+    return tuple(out)
 
 
-def _ntt_core(a, n: int, inverse: bool):
-    """a: (n, ...) u64 → NTT/iNTT without the 1/n scale, natural order in/out.
+def _ntt_core(x, n: int, inverse: bool):
+    """x: (n, ...) u64 → NTT/iNTT without the 1/n scale, natural order in/out.
 
-    Constant-geometry (Pease) radix-2 DIT: after one bit-reversal gather,
-    every stage performs the SAME operation — pair (x[2i], x[2i+1]), butterfly
-    with twiddle w^((i >> (logn−1−s))·(n >> (s+1))) gathered from one master
-    table, write [u+tv ‖ u−tv]. The whole transform is one fori_loop with an
-    O(1)-size body, so the XLA program stays tiny regardless of n (the
-    unrolled form took minutes per size on the remote-compile tunnel)."""
+    Small sizes: unrolled radix-2 DIT with constant per-stage twiddles.
+    Large sizes: six-step split n = a·b (the distributed-NTT structure —
+    math/src/fft/concurrent.rs:132-171 is the reference's shared-memory
+    analogue): view as (b, a), b-point NTTs down the columns, multiply by the
+    (b, a) middle twiddle matrix w^(j1·k2), transpose, a-point NTTs, flatten.
+    The middle twiddles are rebuilt on device from tiny host literals by
+    row-doubling tied to the traced input (so XLA cannot constant-fold the
+    chain at compile time); the rebuild costs ~n extra muls ≈ one stage."""
     if n == 1:
-        return a
-    rest = a.shape[1:]
+        return x
+    if n <= _SMALL_NTT:
+        return _ntt_small(x, n, inverse)
+
+    rest = x.shape[1:]
     logn = n.bit_length() - 1
-    half = n // 2
-    a = a[jnp.asarray(_bitrev_perm(n))]
-    tw_master = jnp.asarray(_master_twiddles_np(n, inverse))  # (n/2,)
-    iota = jnp.arange(half, dtype=jnp.int32)
-    rest_ones = (1,) * len(rest)
+    a = 1 << (logn // 2)
+    b = n // a
 
-    def body(s, x):
-        shift = jnp.int32(logn - 1) - s
-        stride = jnp.right_shift(jnp.int32(half), s)  # n >> (s+1)
-        idx = jnp.right_shift(iota, shift) * stride
-        tw = tw_master[idx].reshape((half,) + rest_ones)
-        pairs = x.reshape((half, 2) + rest)
-        u = pairs[:, 0]
-        v = gl_mul(pairs[:, 1], tw)
-        return jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=0)
+    m = x.reshape((b, a) + rest)
+    y = _ntt_core(m, b, inverse)  # (b, a, ...)
 
-    return jax.lax.fori_loop(0, logn, body, a)
+    # middle twiddle matrix tied to a traced one (defeats constant folding)
+    one_t = jnp.uint64(1) + jnp.uint64(0) * x.reshape(-1)[0]
+    tw = jnp.ones((1, a), dtype=jnp.uint64) * one_t
+    rows = 1
+    for ratio_np in _six_step_row_ratios(n, a, inverse):
+        ratio = jnp.asarray(ratio_np)[None, :]
+        tw = jnp.concatenate([tw, gl_mul(tw, ratio)], axis=0)
+        rows *= 2
+    y = gl_mul(y, tw.reshape((b, a) + (1,) * len(rest)))
+
+    z = jnp.swapaxes(y, 0, 1)  # (a, b, ...)
+    out = _ntt_core(z, a, inverse)
+    return out.reshape((n,) + rest)
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles_small(n: int, inverse: bool):
+    root = F64.get_root_of_unity(n.bit_length() - 1)
+    if inverse:
+        root = pow(root, P - 2, P)
+    stages = []
+    m = 2
+    while m <= n:
+        stages.append(_powers_np(pow(root, n // m, P), m // 2))
+        m *= 2
+    return tuple(stages)
+
+
+def _ntt_small(x, n: int, inverse: bool):
+    """Classic unrolled radix-2 DIT, constant twiddles, natural in/out."""
+    rest = x.shape[1:]
+    x = x[jnp.asarray(_bitrev_perm(n))]
+    for tw_np in _stage_twiddles_small(n, inverse):
+        half = tw_np.shape[0]
+        mm = 2 * half
+        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest))
+        blk = x.reshape((n // mm, 2, half) + rest)
+        u = blk[:, 0]
+        v = gl_mul(blk[:, 1], tw)
+        x = jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=1)
+        x = x.reshape((n,) + rest)
+    return x
 
 
 @lru_cache(maxsize=None)
