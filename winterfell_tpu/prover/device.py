@@ -106,55 +106,50 @@ class _DigestView:
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
-class _HeapNodesView:
-    """Heap-indexed digest view over per-level device arrays: index i in
-    [size, 2·size) reads levels[size][i − size]. Levels at or below the pull
-    threshold are transferred whole and cached; in a Merkle tree the levels
-    above the threshold hold a vanishing fraction of opened nodes."""
+@jax.jit
+def _heap_concat(levels_tuple):
+    """Concatenate Merkle levels (sizes 1, 2, 4, ...) into one heap-ordered
+    array: flat[i − 1] = heap node i. One program per tree size; lets batch
+    openings fetch every needed internal node in a single gather."""
+    ordered = sorted(levels_tuple, key=lambda lvl: lvl.shape[0])
+    return jnp.concatenate(ordered, axis=0)
 
-    __slots__ = ("levels", "_n", "_host")
+
+class _HeapNodesView:
+    """Heap-indexed digest view over a single heap-ordered device array
+    (flat[i − 1] = node i). Single-gather fetch for batch openings."""
+
+    __slots__ = ("flat", "_n", "_host")
 
     def __init__(self, levels: dict, num_leaves: int):
-        self.levels = levels
+        self.flat = _heap_concat(tuple(levels.values()))
         self._n = num_leaves
-        self._host = {}
+        self._host = None
 
     def __len__(self) -> int:
         return self._n
 
-    def _level_host(self, size: int) -> np.ndarray:
-        if size not in self._host:
-            self._host[size] = np.ascontiguousarray(
-                np.asarray(self.levels[size]).astype("<u8"))
-        return self._host[size]
-
-    def _read(self, size: int, offset: int) -> bytes:
-        if size in self._host or size <= _PULL_THRESHOLD:
-            return self._level_host(size)[offset].tobytes()
-        row = _padded_take(self.levels[size], [offset])
-        return np.ascontiguousarray(row.astype("<u8"))[0].tobytes()
+    def _host_all(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.ascontiguousarray(np.asarray(self.flat).astype("<u8"))
+        return self._host
 
     def __getitem__(self, i) -> bytes:
-        size = 1 << (int(i).bit_length() - 1)
-        return self._read(size, int(i) - size)
+        if self._host is not None or self._n <= _PULL_THRESHOLD:
+            return self._host_all()[int(i) - 1].tobytes()
+        row = _padded_take(self.flat, [int(i) - 1])
+        return np.ascontiguousarray(row.astype("<u8"))[0].tobytes()
 
     def fetch(self, indexes) -> dict:
-        by_level: dict = {}
-        for i in indexes:
-            size = 1 << (int(i).bit_length() - 1)
-            by_level.setdefault(size, []).append(int(i))
-        out = {}
-        for size, idxs in by_level.items():
-            if size in self._host or size <= _PULL_THRESHOLD:
-                host = self._level_host(size)
-                for i in idxs:
-                    out[i] = host[i - size].tobytes()
-            else:
-                rows = np.ascontiguousarray(_padded_take(
-                    self.levels[size], [i - size for i in idxs]).astype("<u8"))
-                for k, i in enumerate(idxs):
-                    out[i] = rows[k].tobytes()
-        return out
+        indexes = [int(i) for i in indexes]
+        if not indexes:
+            return {}
+        if self._host is not None or self._n <= _PULL_THRESHOLD:
+            host = self._host_all()
+            return {i: host[i - 1].tobytes() for i in indexes}
+        rows = np.ascontiguousarray(_padded_take(
+            self.flat, [i - 1 for i in indexes]).astype("<u8"))
+        return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
 class _RecordingView:
@@ -283,9 +278,13 @@ def _ext_scalar(e: tuple):
     return jnp.asarray(np.array([list(e)], dtype=np.uint64))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def _power_series_dev(s: int, n: int, scale: int = 1):
-    """Host-precomputed power series as a device literal (lru-cached). Data
-    only — nothing for XLA's constant folder to evaluate."""
+    """Host-precomputed power series kept resident on device (cached —
+    re-uploading tens of MB per prove would dominate DEEP wall clock)."""
     return jnp.asarray(gl._powers_np(s, n, scale))
 
 
@@ -773,9 +772,14 @@ class GoldilocksProver(Prover):
             xs_ext = jnp.pad(xs[:, None], ((0, 0), (0, d - 1)))  # x as ext
             den_z = gl.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
             den_gz = gl.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
+            # one inversion instead of two (Montgomery pair trick):
+            # 1/a = inv(ab)·b, 1/b = inv(ab)·a
+            inv_prod = gl.ext_inv(gl.ext_mul(den_z, den_gz))
+            inv_z = gl.ext_mul(inv_prod, den_gz)
+            inv_gz = gl.ext_mul(inv_prod, den_z)
             return gl.ext_add(
-                gl.ext_mul(comp_z, gl.ext_inv(den_z)),
-                gl.ext_mul(comp_gz, gl.ext_inv(den_gz)))
+                gl.ext_mul(comp_z, inv_z),
+                gl.ext_mul(comp_gz, inv_gz))
 
         fn = jax.jit(accumulate)
         self._deep_cache = (key, fn)
