@@ -306,11 +306,16 @@ def _boundary_divisor_inv(xs, a: int, b0: int):
     return gl.gl_inv(gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
 
 
+# above this LDE size the fused commit program exceeds single-chip HBM
+# (XLA holds the NTT stage intermediates of all fused steps concurrently);
+# run the steps as separate programs so buffers are freed between them
+_FUSE_LIMIT = 1 << 24
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
-def _commit_pipeline(matrix, n: int, offset: int, blowup: int):
-    """Interpolate → coset LDE → row hash → full Merkle reduction, ONE
-    program per matrix shape (fuses four separate dispatches — fewer remote
-    compiles, fewer tunnel roundtrips)."""
+def _commit_pipeline_fused(matrix, n: int, offset: int, blowup: int):
+    """Interpolate → coset LDE → row hash, ONE program per matrix shape
+    (fuses three dispatches — fewer remote compiles, fewer roundtrips)."""
     polys = gl._ntt_core(matrix, n, inverse=True)
     inv_n = pow(n, gl.P - 2, gl.P)
     polys = gl.gl_mul(polys, jnp.uint64(inv_n))
@@ -320,12 +325,28 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int):
     return polys, lde, leaves
 
 
+def _commit_pipeline(matrix, n: int, offset: int, blowup: int):
+    if n * blowup < _FUSE_LIMIT:
+        return _commit_pipeline_fused(matrix, n, offset, blowup)
+    polys = gl.ntt_interpolate(matrix, n)
+    lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    leaves = gl.rp64_hash_rows(lde.reshape(lde.shape[0], -1))
+    return polys, lde, leaves
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _comp_segment(ce_column, ce: int, n: int, num_cols: int, offset: int):
+    coeffs = gl.ntt_interpolate_with_offset(ce_column, ce, offset)
+    d = ce_column.shape[-1]
+    return jnp.swapaxes(coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
-                          num_cols: int):
+def _comp_commit_pipeline_fused(ce_column, ce: int, n: int, offset: int,
+                                blowup: int, num_cols: int):
     """Composition commitment: iFFT the CE column, segment the first num_cols
-    trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash +
-    Merkle — one program."""
+    trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash —
+    one program."""
     coeffs = gl.ntt_interpolate_with_offset(ce_column, ce, offset)
     d = ce_column.shape[-1]
     comp_columns = jnp.swapaxes(
@@ -333,6 +354,17 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
     lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = gl.rp64_hash_rows(rows_2d)
+    return comp_columns, lde, leaves
+
+
+def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
+                          num_cols: int):
+    if n * blowup < _FUSE_LIMIT:
+        return _comp_commit_pipeline_fused(ce_column, ce, n, offset, blowup,
+                                           num_cols)
+    comp_columns = _comp_segment(ce_column, ce, n, num_cols, offset)
+    lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
+    leaves = gl.rp64_hash_rows(lde.reshape(lde.shape[0], -1))
     return comp_columns, lde, leaves
 
 
