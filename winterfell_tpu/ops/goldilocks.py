@@ -494,21 +494,31 @@ def _rp_sbox(state):
     return gl_mul(x6, state)
 
 
-# INV_ALPHA bits, MSB first, for the in-graph square-and-multiply loop.
-_INV_ALPHA_BITS = np.array(
-    [(INV_ALPHA >> i) & 1 for i in range(63, -1, -1)], dtype=np.uint64)
+def _exp_acc(base, tail, m: int):
+    """base^(2^m) · tail — the exp_acc building block of the reference's
+    72-multiplication inverse S-box chain (crypto/src/hash/rescue/mod.rs:21)."""
+    r = base
+    for _ in range(m):
+        r = gl_mul(r, r)
+    return gl_mul(r, tail)
 
 
 def _rp_inv_sbox(state):
-    """x^INV_ALPHA via a fori_loop square-and-multiply (compile-friendly:
-    64 iterations instead of ~90 unrolled multiplies)."""
-    bits = jnp.asarray(_INV_ALPHA_BITS)
-
-    def body(i, acc):
-        acc = gl_mul(acc, acc)
-        return jnp.where(bits[i] == 1, gl_mul(acc, state), acc)
-
-    return jax.lax.fori_loop(0, 64, body, jnp.ones_like(state))
+    """x^INV_ALPHA via the reference's 72-mul addition chain
+    (rp64_256/mod.rs apply_inv_sbox): INV_ALPHA =
+    0b1001001001001001001001001001000110110110110110110110110110110111."""
+    t1 = gl_mul(state, state)            # x^10
+    t2 = gl_mul(t1, t1)                  # x^100
+    t3 = _exp_acc(t2, t2, 3)             # x^100100
+    t4 = _exp_acc(t3, t3, 6)             # x^(100100 repeated)
+    t5 = _exp_acc(t4, t4, 12)
+    t6 = _exp_acc(t5, t3, 6)
+    t7 = _exp_acc(t6, t6, 31)
+    a = gl_mul(gl_mul(t7, t7), t6)
+    a = gl_mul(a, a)
+    a = gl_mul(a, a)
+    b = gl_mul(gl_mul(t1, t2), state)
+    return gl_mul(a, b)
 
 
 def _rp_mds(state):
@@ -540,14 +550,30 @@ def rp64_permutation_rows(state):
     return state
 
 
+def _traced_const_cols(like_2d, values):
+    """(m, len(values)) array of constants derived from a traced input —
+    in-place scatters into literal zeros would otherwise be constant-folded
+    by XLA into multi-MB embedded arrays (slow compiles, giant executables)."""
+    m = like_2d.shape[0]
+    one_t = jnp.uint64(1) + jnp.uint64(0) * like_2d.reshape(-1)[0]
+    cols = jnp.asarray(np.array(values, dtype=np.uint64))[None, :]
+    return jnp.broadcast_to(one_t[None, None] * cols, (m, len(values)))
+
+
 @jax.jit
 def rp64_hash_rows(rows):
     """hash_elements of each row: rows (m, k) u64 → digests (m, 4) u64
     (rp64_256/mod.rs:183-204: capacity[0] = k, absorb in chunks of 8)."""
     m, k = rows.shape
-    state = jnp.zeros((m, _STATE_WIDTH), dtype=jnp.uint64)
-    state = state.at[:, 0].set(jnp.uint64(k % P))
-    i = 0
+    capacity = _traced_const_cols(rows, [k % P, 0, 0, 0])
+    first = rows[:, :_RATE_WIDTH]
+    pad = _RATE_WIDTH - first.shape[1]
+    if pad:
+        first = jnp.concatenate(
+            [first, _traced_const_cols(rows, [0] * pad)], axis=1)
+    state = jnp.concatenate([capacity, first], axis=1)
+    state = rp64_permutation_rows(state)
+    i = _RATE_WIDTH
     while i < k:
         chunk = rows[:, i : i + _RATE_WIDTH]
         width = chunk.shape[1]
@@ -561,11 +587,8 @@ def rp64_hash_rows(rows):
 @jax.jit
 def rp64_merge_rows(left, right):
     """merge of digest pairs: (m,4),(m,4) → (m,4) (rp64_256/mod.rs:208-221)."""
-    m = left.shape[0]
-    state = jnp.zeros((m, _STATE_WIDTH), dtype=jnp.uint64)
-    state = state.at[:, 0].set(jnp.uint64(_RATE_WIDTH))
-    state = state.at[:, 4:8].set(left)
-    state = state.at[:, 8:12].set(right)
+    capacity = _traced_const_cols(left, [_RATE_WIDTH, 0, 0, 0])
+    state = jnp.concatenate([capacity, left, right], axis=1)
     state = rp64_permutation_rows(state)
     return state[:, 4:8]
 
