@@ -175,26 +175,6 @@ def _bitrev_perm(n: int) -> np.ndarray:
     return rev
 
 
-@lru_cache(maxsize=None)
-def _stage_twiddles_np(n: int, inverse: bool) -> Tuple[np.ndarray, ...]:
-    root = F64.get_root_of_unity(n.bit_length() - 1)
-    if inverse:
-        root = pow(root, P - 2, P)
-    stages = []
-    m = 2
-    while m <= n:
-        w_m = pow(root, n // m, P)
-        half = m // 2
-        tw = np.empty(half, dtype=np.uint64)
-        acc = 1
-        for j in range(half):
-            tw[j] = acc
-            acc = acc * w_m % P
-        stages.append(tw)
-        m *= 2
-    return tuple(stages)
-
-
 # NTTs at or below this size use the classic unrolled form with per-stage
 # constant twiddle vectors (small graphs, no gathers); larger sizes decompose
 # via the six-step split so sub-transforms stay below this bound.
@@ -307,20 +287,6 @@ def ntt_interpolate(evals, n: int):
     return gl_mul(coeffs, jnp.uint64(inv_n))
 
 
-def _power_series_doubling(s: int, n: int, scale: int = 1):
-    """Power series built by log-doubling in-graph. CAUTION: when every input
-    is a compile-time literal, XLA constant-folds the whole chain with its
-    slow HLO evaluator — use only with traced inputs or tiny n."""
-    cur = jnp.asarray(np.array([scale % P], dtype=np.uint64))
-    s_pow = s % P
-    length = 1
-    while length < n:
-        cur = jnp.concatenate([cur, gl_mul(cur, jnp.uint64(s_pow))], axis=0)
-        s_pow = s_pow * s_pow % P
-        length *= 2
-    return cur
-
-
 def _scale_by_power_series(coeffs, n: int, s: int, scale: int = 1):
     # host-precomputed literal (lru-cached): pure data in the graph — no
     # in-graph compute chain for XLA's constant folder to evaluate
@@ -415,11 +381,6 @@ def ext_frobenius(a):
         term = gl_mul(a[..., i : i + 1], fr[i][None, :])
         acc = term if acc is None else gl_add(acc, term)
     return acc
-
-
-def gl_power_series(s: int, n: int, scale: int = 1):
-    """[scale, scale·s, scale·s², ...] as a device array (host-precomputed)."""
-    return jnp.asarray(_powers_np(s, n, scale))
 
 
 # ================================================================================
