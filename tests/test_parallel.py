@@ -2,6 +2,8 @@
 bit-identical to the single-device oracle (exact integer arithmetic — no
 reduction-order sensitivity)."""
 
+from functools import partial
+
 import numpy as np
 import pytest
 
@@ -58,9 +60,14 @@ def test_six_step_ntt_sharded_over_mesh():
     x = _rand((n, 1), seed=7)
 
     shard = NamedSharding(mesh, P("x"))
-    sharded_fn = jax.jit(_six_step_core, static_argnums=(1, 2),
-                         in_shardings=shard, out_shardings=shard)
-    got = np.asarray(sharded_fn(jax.device_put(gl.jnp.asarray(x), shard), n, a))
+    b = n // a
+    sharded_fn = jax.jit(
+        partial(_six_step_core,
+                mid_tw=gl._mid_twiddles_dev(n, a, False),
+                inner_plan=gl.ntt_plan(b, False),
+                outer_plan=gl.ntt_plan(a, False), n=n, a=a),
+        in_shardings=shard, out_shardings=shard)
+    got = np.asarray(sharded_fn(jax.device_put(gl.jnp.asarray(x), shard)))
     expected = np.asarray(gl.ntt_evaluate(gl.jnp.asarray(x), n))
     assert np.array_equal(got, expected)
 

@@ -19,6 +19,17 @@ Design (TPU-first, per the Pallas guide's hardware model):
 - Rescue-Prime Rp64_256 (crypto/src/hash/rescue/rp64_256/mod.rs) is
   vectorized over rows: row hashing and the Merkle layer reduction run as
   wide elementwise u64 ops.
+
+Executable-size discipline (the round-1 lesson): every array that scales
+with the domain size — six-step middle twiddles, offset power series, FRI
+inverse-offset powers — is built ON DEVICE once per (size, value) by tiny
+log-doubling programs and then passed into the jitted compute programs as a
+runtime ARGUMENT. Nothing big is embedded in any executable and nothing big
+crosses the host↔device link; only O(log n) scalar "jump" values do. Long
+scalar op chains (inverse S-box addition chain, pow-by-constant, MDS row
+accumulation) run as ``lax.fori_loop``/``lax.scan`` so the traced program
+stays O(1) in the chain length. Both together keep compiled programs small
+(fast remote compiles, small persistent-cache entries, fast warm loads).
 """
 
 from __future__ import annotations
@@ -102,17 +113,47 @@ def gl_mul(a, b):
     return _reduce_128(hi, lo)
 
 
+def gl_mul_small(a, c):
+    """a · c mod p where every element of ``c`` is < 2^32 (e.g. the Rescue
+    MDS constants — reference mul_small, f64/mod.rs:106). Half the partial
+    products of the general multiply."""
+    a_lo = a & _MASK32
+    a_hi = a >> jnp.uint64(32)
+    t0 = a_lo * c  # < 2^64, exact
+    t2 = a_hi * c
+    mid = (t0 >> jnp.uint64(32)) + (t2 & _MASK32)  # ≤ 2^33
+    lo = (t0 & _MASK32) | (mid << jnp.uint64(32))
+    hi = (t2 >> jnp.uint64(32)) + (mid >> jnp.uint64(32))
+    return _reduce_128(hi, lo)
+
+
+def _squares(a, k: int):
+    """a^(2^k) — fori_loop for long runs so the traced program is O(1)."""
+    if k == 0:
+        return a
+    if k <= 2:
+        for _ in range(k):
+            a = gl_mul(a, a)
+        return a
+    return jax.lax.fori_loop(0, k, lambda _, v: gl_mul(v, v), a)
+
+
 def gl_pow_const(a, e: int):
-    """a ** e for a python-int exponent (unrolled square-and-multiply)."""
-    result = None
-    acc = a
-    while e > 0:
-        if e & 1:
-            result = acc if result is None else gl_mul(result, acc)
-        e >>= 1
-        if e:
-            acc = gl_mul(acc, acc)
-    return result if result is not None else jnp.ones_like(a)
+    """a ** e for a python-int exponent. Square-and-multiply with runs of
+    squarings rolled into fori_loops (small programs for e up to 2^32)."""
+    if e == 0:
+        return jnp.ones_like(a)
+    bits = bin(e)[2:]
+    result = a
+    run = 0
+    for bit in bits[1:]:
+        run += 1
+        if bit == "1":
+            result = gl_mul(_squares(result, run), a)
+            run = 0
+    if run:
+        result = _squares(result, run)
+    return result
 
 
 # ================================================================================
@@ -161,6 +202,74 @@ def ext_mul_base(a, s):
 
 
 # ================================================================================
+# Device-built constant arrays (power series, six-step middle twiddles)
+# ================================================================================
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _build_powers_jit(jumps, scale, n: int):
+    """[scale · s^k for k in 0..n) built on device by log-doubling from the
+    (log2(n),) "jump" array jumps[j] = s^(2^j). Program is O(log n) ops and
+    shared across every (s, scale) pair for a given n."""
+    cap = 1 << max((n - 1).bit_length(), 0) if n > 1 else 1
+    cur = scale[None]
+    m, j = 1, 0
+    while m < cap:
+        cur = jnp.concatenate([cur, gl_mul(cur, jumps[j])])
+        m *= 2
+        j += 1
+    return cur[:n]
+
+
+@lru_cache(maxsize=None)
+def _power_series_dev(s: int, n: int, scale: int = 1):
+    """Device-resident power series [scale·s^k], built once per (s, n, scale)
+    and cached for the life of the process. Only O(log n) scalars cross the
+    host↔device link. ensure_compile_time_eval keeps the build eager (and the
+    cached value concrete) even when first requested mid-trace."""
+    logn = max((n - 1).bit_length(), 1)
+    jumps = np.empty(logn, dtype=np.uint64)
+    acc = s % P
+    for j in range(logn):
+        jumps[j] = acc
+        acc = acc * acc % P
+    with jax.ensure_compile_time_eval():
+        return _build_powers_jit(jnp.asarray(jumps), jnp.uint64(scale % P), n)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _build_mid_tw_jit(ratio_rows, b: int):
+    """(b, a) six-step middle twiddle matrix w_n^(j1·k2) from the stacked
+    ratio rows ratio_rows[r] = [(w^(2^r))^j1 for j1 < a] by row-doubling:
+    rows [m, 2m) = rows [0, m) · ratio_r."""
+    a = ratio_rows.shape[1]
+    tw = jnp.ones((1, a), dtype=jnp.uint64)
+    m, r = 1, 0
+    while m < b:
+        tw = jnp.concatenate([tw, gl_mul(tw, ratio_rows[r][None, :])], axis=0)
+        m *= 2
+        r += 1
+    return tw
+
+
+@lru_cache(maxsize=None)
+def _mid_twiddles_dev(n: int, a: int, inverse: bool):
+    """Device-resident (b, a) middle twiddle matrix for the six-step split of
+    an n-point NTT; built on device, nothing big uploaded or embedded."""
+    b = n // a
+    root = F64.get_root_of_unity(n.bit_length() - 1)
+    if inverse:
+        root = pow(root, P - 2, P)
+    rows = []
+    m = 1
+    while m < b:
+        rows.append(_power_series_dev(pow(root, m, P), a))
+        m *= 2
+    with jax.ensure_compile_time_eval():
+        return _build_mid_tw_jit(jnp.stack(rows), b)
+
+
+# ================================================================================
 # NTT (radix-2 DIT, natural order in/out, leading axis)
 # ================================================================================
 
@@ -176,63 +285,49 @@ def _bitrev_perm(n: int) -> np.ndarray:
 
 
 # NTTs at or below this size use the classic unrolled form with per-stage
-# constant twiddle vectors (small graphs, no gathers); larger sizes decompose
-# via the six-step split so sub-transforms stay below this bound.
+# constant twiddle vectors (small graphs, small literals); larger sizes
+# decompose via the six-step split so sub-transforms stay below this bound.
 _SMALL_NTT = 1 << 13
 
 
 @lru_cache(maxsize=None)
-def _six_step_row_ratios(n: int, a: int, inverse: bool):
-    """Host power-series literals (w^m)^{j1} for the doubling construction of
-    the (b, a) middle twiddle matrix (m = 1, 2, 4, ...)."""
+def ntt_plan(n: int, inverse: bool):
+    """Pytree of device-resident constants for an n-point NTT: None for small
+    sizes, else (mid_twiddles, inner_plan, outer_plan). Passed into jitted
+    programs as a runtime argument — never embedded in executables."""
+    if n <= _SMALL_NTT:
+        return None
+    logn = n.bit_length() - 1
+    a = 1 << (logn // 2)
     b = n // a
-    root = F64.get_root_of_unity(n.bit_length() - 1)
-    if inverse:
-        root = pow(root, P - 2, P)
-    out = []
-    m = 1
-    while m < b:
-        out.append(_powers_np(pow(root, m, P), a))
-        m *= 2
-    return tuple(out)
+    return (_mid_twiddles_dev(n, a, inverse), ntt_plan(b, inverse),
+            ntt_plan(a, inverse))
 
 
-def _ntt_core(x, n: int, inverse: bool):
+def _ntt_core(x, n: int, inverse: bool, plan):
     """x: (n, ...) u64 → NTT/iNTT without the 1/n scale, natural order in/out.
 
     Small sizes: unrolled radix-2 DIT with constant per-stage twiddles.
     Large sizes: six-step split n = a·b (the distributed-NTT structure —
     math/src/fft/concurrent.rs:132-171 is the reference's shared-memory
     analogue): view as (b, a), b-point NTTs down the columns, multiply by the
-    (b, a) middle twiddle matrix w^(j1·k2), transpose, a-point NTTs, flatten.
-    The middle twiddles are rebuilt on device from tiny host literals by
-    row-doubling tied to the traced input (so XLA cannot constant-fold the
-    chain at compile time); the rebuild costs ~n extra muls ≈ one stage."""
+    (b, a) middle twiddle matrix w^(j1·k2) (a device-built plan argument),
+    transpose, a-point NTTs, flatten."""
     if n == 1:
         return x
     if n <= _SMALL_NTT:
         return _ntt_small(x, n, inverse)
 
+    mid_tw, inner_plan, outer_plan = plan
     rest = x.shape[1:]
-    logn = n.bit_length() - 1
-    a = 1 << (logn // 2)
-    b = n // a
+    b, a = mid_tw.shape
 
     m = x.reshape((b, a) + rest)
-    y = _ntt_core(m, b, inverse)  # (b, a, ...)
-
-    # middle twiddle matrix tied to a traced one (defeats constant folding)
-    one_t = jnp.uint64(1) + jnp.uint64(0) * x.reshape(-1)[0]
-    tw = jnp.ones((1, a), dtype=jnp.uint64) * one_t
-    rows = 1
-    for ratio_np in _six_step_row_ratios(n, a, inverse):
-        ratio = jnp.asarray(ratio_np)[None, :]
-        tw = jnp.concatenate([tw, gl_mul(tw, ratio)], axis=0)
-        rows *= 2
-    y = gl_mul(y, tw.reshape((b, a) + (1,) * len(rest)))
+    y = _ntt_core(m, b, inverse, inner_plan)  # (b, a, ...)
+    y = gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
 
     z = jnp.swapaxes(y, 0, 1)  # (a, b, ...)
-    out = _ntt_core(z, a, inverse)
+    out = _ntt_core(z, a, inverse, outer_plan)
     return out.reshape((n,) + rest)
 
 
@@ -275,47 +370,87 @@ def _powers_np(s: int, n: int, scale: int = 1) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnums=(1,))
-def ntt_evaluate(coeffs, n: int):
-    return _ntt_core(coeffs, n, inverse=False)
+# ---- traceable NTT bodies (plans/powers as arguments) -------------------------
 
 
-@partial(jax.jit, static_argnums=(1,))
-def ntt_interpolate(evals, n: int):
-    coeffs = _ntt_core(evals, n, inverse=True)
+def ntt_evaluate_body(coeffs, plan, n: int):
+    return _ntt_core(coeffs, n, inverse=False, plan=plan)
+
+
+def ntt_interpolate_body(evals, plan, n: int):
+    coeffs = _ntt_core(evals, n, inverse=True, plan=plan)
     inv_n = pow(n, P - 2, P)
     return gl_mul(coeffs, jnp.uint64(inv_n))
 
 
-def _scale_by_power_series(coeffs, n: int, s: int, scale: int = 1):
-    # host-precomputed literal (lru-cached): pure data in the graph — no
-    # in-graph compute chain for XLA's constant folder to evaluate
-    powers = jnp.asarray(_powers_np(s, n, scale))
-    rest_dims = coeffs.ndim - 1
-    return gl_mul(coeffs, powers.reshape((n,) + (1,) * rest_dims))
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def ntt_evaluate_with_offset(coeffs, n: int, offset: int, blowup: int):
-    """Coset LDE, natural order over the n·blowup domain (matches
-    winterfell_tpu.math.ntt.evaluate_poly_with_offset).
-
-    Implemented as ONE (n·blowup)-point NTT over offset-scaled, zero-padded
-    coefficients — identical values to per-subcoset NTTs, but a single
-    uniform program instead of `blowup` inlined transforms (compile time)."""
+def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int):
+    """Coset LDE body: scale coeffs by the offset power series (a device
+    argument), zero-pad to n·blowup, one big NTT (matches
+    winterfell_tpu.math.ntt.evaluate_poly_with_offset value-for-value)."""
     big_n = n * blowup
-    scaled = _scale_by_power_series(coeffs, n, offset)
+    rest_dims = coeffs.ndim - 1
+    scaled = gl_mul(coeffs, off_pows.reshape((n,) + (1,) * rest_dims))
     padded = jnp.concatenate(
         [scaled, jnp.zeros((big_n - n,) + coeffs.shape[1:], dtype=jnp.uint64)],
         axis=0)
-    return _ntt_core(padded, big_n, inverse=False)
+    return _ntt_core(padded, big_n, inverse=False, plan=plan)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def ntt_interpolate_with_offset(evals, n: int, offset: int):
-    coeffs = ntt_interpolate(evals, n)
+def ntt_interp_offset_body(evals, inv_off_pows, plan, n: int):
+    """iNTT + combined (1/n)·offset^-i scale (the scale is folded into the
+    power-series argument — one multiply pass instead of two)."""
+    coeffs = _ntt_core(evals, n, inverse=True, plan=plan)
+    rest_dims = coeffs.ndim - 1
+    return gl_mul(coeffs, inv_off_pows.reshape((n,) + (1,) * rest_dims))
+
+
+# ---- public jitted wrappers ---------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _ntt_evaluate_jit(coeffs, plan, n: int):
+    return ntt_evaluate_body(coeffs, plan, n)
+
+
+def ntt_evaluate(coeffs, n: int):
+    return _ntt_evaluate_jit(coeffs, ntt_plan(n, False), n)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _ntt_interpolate_jit(evals, plan, n: int):
+    return ntt_interpolate_body(evals, plan, n)
+
+
+def ntt_interpolate(evals, n: int):
+    return _ntt_interpolate_jit(evals, ntt_plan(n, True), n)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _ntt_lde_jit(coeffs, off_pows, plan, n: int, blowup: int):
+    return ntt_lde_body(coeffs, off_pows, plan, n, blowup)
+
+
+def ntt_evaluate_with_offset(coeffs, n: int, offset: int, blowup: int):
+    """Coset LDE, natural order over the n·blowup domain."""
+    return _ntt_lde_jit(coeffs, _power_series_dev(offset, n),
+                        ntt_plan(n * blowup, False), n, blowup)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _ntt_interp_offset_jit(evals, inv_off_pows, plan, n: int):
+    return ntt_interp_offset_body(evals, inv_off_pows, plan, n)
+
+
+def interp_offset_powers(n: int, offset: int):
+    """Device power series (1/n)·offset^-i used by offset interpolation."""
     inv_offset = pow(offset % P, P - 2, P)
-    return _scale_by_power_series(coeffs, n, inv_offset)
+    inv_n = pow(n, P - 2, P)
+    return _power_series_dev(inv_offset, n, inv_n)
+
+
+def ntt_interpolate_with_offset(evals, n: int, offset: int):
+    return _ntt_interp_offset_jit(evals, interp_offset_powers(n, offset),
+                                  ntt_plan(n, True), n)
 
 
 # ================================================================================
@@ -388,22 +523,17 @@ def ext_frobenius(a):
 # ================================================================================
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def fri_fold(evaluations, n_fold: int, domain_offset: int, alpha):
+def fri_fold_body(evaluations, inv_off_pows, alpha, n_fold: int):
     """evaluations (n, d), alpha (d,) → folded (n/N, d). Same math as the
     host apply_drp: per-row N-point iNTT over the row's coset, inverse-offset
-    scaling, Horner at α."""
+    scaling (a device argument), Horner at α."""
     n, d = evaluations.shape
     rows = n // n_fold
     transposed = evaluations.reshape(n_fold, rows, d)  # [j, i] = evals[i + j*rows]
 
-    coeffs = _ntt_core(transposed, n_fold, inverse=True)
+    coeffs = _ntt_core(transposed, n_fold, inverse=True, plan=None)
     inv_nf = pow(n_fold, P - 2, P)
     coeffs = gl_mul(coeffs, jnp.uint64(inv_nf))  # (N, rows, d)
-
-    # per-row inverse-offset powers (N, rows), host-precomputed data literal
-    inv_off_pows = jnp.asarray(
-        _fri_inv_offset_powers(n, n_fold, domain_offset % P))
 
     result = jnp.zeros((rows, d), dtype=jnp.uint64)
     alpha_b = alpha[None, :]
@@ -414,21 +544,38 @@ def fri_fold(evaluations, n_fold: int, domain_offset: int, alpha):
     return result
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _fri_fold_jit(evaluations, inv_off_pows, alpha, n_fold: int):
+    return fri_fold_body(evaluations, inv_off_pows, alpha, n_fold)
+
+
+def fri_fold(evaluations, n_fold: int, domain_offset: int, alpha):
+    return _fri_fold_jit(
+        evaluations,
+        fri_inv_offset_powers(evaluations.shape[0], n_fold, domain_offset % P),
+        alpha, n_fold)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _fri_pow_rows_jit(inv_offsets, n_fold: int):
+    rows = [jnp.ones_like(inv_offsets)]
+    acc = inv_offsets
+    for _ in range(1, n_fold):
+        rows.append(acc)
+        acc = gl_mul(acc, inv_offsets)
+    return jnp.stack(rows)
+
+
 @lru_cache(maxsize=None)
-def _fri_inv_offset_powers(n: int, n_fold: int, domain_offset: int) -> np.ndarray:
-    """(N, rows) matrix of ((offset·g^i)^-1)^k for the fri_fold coefficient
-    scaling (folding/mod.rs:103-110)."""
+def fri_inv_offset_powers(n: int, n_fold: int, domain_offset: int):
+    """(N, rows) device matrix of ((offset·g^i)^-1)^k for the fri_fold
+    coefficient scaling (folding/mod.rs:103-110). Built on device."""
     rows = n // n_fold
     g = F64.get_root_of_unity(n.bit_length() - 1)
-    inv_offsets = _powers_np(pow(g, P - 2, P), rows, pow(domain_offset, P - 2, P))
-    out = np.empty((n_fold, rows), dtype=np.uint64)
-    out[0] = 1
-    acc = np.ones(rows, dtype=object)
-    invs = inv_offsets.astype(object)
-    for k in range(1, n_fold):
-        acc = acc * invs % P
-        out[k] = acc.astype(np.uint64)
-    return out
+    inv_offsets = _power_series_dev(pow(g, P - 2, P), rows,
+                                    pow(domain_offset % P, P - 2, P))
+    with jax.ensure_compile_time_eval():
+        return _fri_pow_rows_jit(inv_offsets, n_fold)
 
 
 # ================================================================================
@@ -457,11 +604,9 @@ def _rp_sbox(state):
 
 def _exp_acc(base, tail, m: int):
     """base^(2^m) · tail — the exp_acc building block of the reference's
-    72-multiplication inverse S-box chain (crypto/src/hash/rescue/mod.rs:21)."""
-    r = base
-    for _ in range(m):
-        r = gl_mul(r, r)
-    return gl_mul(r, tail)
+    72-multiplication inverse S-box chain (crypto/src/hash/rescue/mod.rs:21);
+    the squaring run is a fori_loop so the traced program stays small."""
+    return gl_mul(_squares(base, m), tail)
 
 
 def _rp_inv_sbox(state):
@@ -483,12 +628,18 @@ def _rp_inv_sbox(state):
 
 
 def _rp_mds(state):
-    """state: (m, 12) → MDS·state. 12×12 dot with small constants."""
-    mds = jnp.asarray(_MDS_NP)  # (12, 12)
-    acc = None
-    for k in range(_STATE_WIDTH):
-        term = gl_mul(state[:, k : k + 1], mds[:, k][None, :])
-        acc = term if acc is None else gl_add(acc, term)
+    """state: (m, 12) → MDS·state. Scan over the 12 columns with mul_small
+    (all MDS entries are ≤ 26) — a small traced body instead of an unrolled
+    12×(full-multiply) chain."""
+    mds_t = jnp.asarray(_MDS_NP.T.copy())  # (12, 12): row k = MDS[:, k]
+    cols = jnp.moveaxis(state, -1, 0)      # (12, m)
+
+    def body(acc, xs):
+        col, mds_col = xs  # (m,), (12,)
+        return gl_add(acc, gl_mul_small(col[:, None], mds_col[None, :])), None
+
+    acc0 = jnp.zeros_like(state)
+    acc, _ = jax.lax.scan(body, acc0, (cols, mds_t))
     return acc
 
 
@@ -555,7 +706,20 @@ def rp64_merge_rows(left, right):
 
 
 @jax.jit
-def _merkle_levels_impl(leaves):
+def _merge_level(level):
+    """(m, 4) digests → (m/2, 4) parent digests. One small program per level
+    size, shared across every tree (trace/aux/composition/FRI) whose
+    reduction passes through that size."""
+    return rp64_merge_rows(level[0::2], level[1::2])
+
+
+# levels at or below this size are reduced by ONE shared unrolled program
+# (the same (1024, 4) tail shape for every big tree)
+_MERKLE_TAIL = 1 << 10
+
+
+@jax.jit
+def _merkle_tail_impl(leaves):
     levels = []
     current = rp64_merge_rows(leaves[0::2], leaves[1::2])  # (m/2, 4)
     levels.append(current)
@@ -565,14 +729,28 @@ def _merkle_levels_impl(leaves):
     return tuple(levels)
 
 
+def _merkle_levels_impl(leaves):
+    """Merkle internal levels from leaf digests (m, 4): per-level shared
+    merge programs down to _MERKLE_TAIL, then one shared tail program —
+    executable bytes are O(log m) small programs reused across all trees,
+    instead of one giant fully-unrolled program per tree size."""
+    levels = []
+    current = leaves
+    while current.shape[0] > _MERKLE_TAIL:
+        current = _merge_level(current)
+        levels.append(current)
+    if current.shape[0] > 1:
+        levels.extend(_merkle_tail_impl(current))
+    return tuple(levels)
+
+
 def merkle_levels_rp64(leaves):
     """Merkle internal levels from leaf digests (m, 4), all on device.
 
     Returns {size: level_array} where ``level_array`` of shape (size, 4) holds
     heap nodes [size, 2·size) — the reference layout with the root at
-    nodes[1] (crypto/src/merkle/mod.rs:344-368). The whole log₂(m)-level
-    reduction is ONE jitted program (one compile per tree size), each level a
-    vectorized 2-to-1 Rescue merge; arrays stay on device for lazy reads."""
+    nodes[1] (crypto/src/merkle/mod.rs:344-368). Each level is a vectorized
+    2-to-1 Rescue merge; arrays stay on device for lazy reads."""
     return {lvl.shape[0]: lvl for lvl in _merkle_levels_impl(leaves)}
 
 

@@ -39,36 +39,20 @@ __all__ = ["make_mesh", "ntt_six_step", "sharded_lde", "sharded_commit"]
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
-def _six_step_twiddles(n: int, a: int) -> np.ndarray:
-    """(b, a) matrix of w_n^(j1·k2)."""
-    b = n // a
-    root = F64.get_root_of_unity(n.bit_length() - 1)
-    p = F64.p
-    out = np.empty((b, a), dtype=np.uint64)
-    for k2 in range(b):
-        w_k2 = pow(root, k2, p)
-        acc = 1
-        for j1 in range(a):
-            out[k2, j1] = acc
-            acc = acc * w_k2 % p
-    return out
-
-
 def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
     return Mesh(np.array(devices[:n]), axis_names=(axis,))
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _six_step_core(x, n: int, a: int):
+@partial(jax.jit, static_argnums=(4, 5))
+def _six_step_core(x, mid_tw, inner_plan, outer_plan, n: int, a: int):
     """Six-step NTT of length n = a·b over the leading axis (derivation in
     module docstring; matches gl.ntt_evaluate exactly):
 
     1. view x as (b, a): M[j2, j1] = x[j1 + a·j2]
     2. b-point NTTs down the columns (leading axis)      [local if sharded on j1]
-    3. twiddle scale by w_n^(j1·k2)
+    3. twiddle scale by w_n^(j1·k2)                      [mid_tw: device-built arg]
     4. transpose to (a, b)                               [the all-to-all]
     5. a-point NTTs down the columns                     [local if sharded on k2]
     6. flatten (a, b) → natural-order result
@@ -76,15 +60,11 @@ def _six_step_core(x, n: int, a: int):
     b = n // a
     rest = x.shape[1:]
     m = x.reshape((b, a) + rest)
-    y = gl._ntt_core(m, b, inverse=False)  # (b, a, ...)
-
-    # twiddle matrix w^(j1·k2), host-precomputed as a data literal (in-graph
-    # literal-rooted chains would hit XLA's slow constant folder)
-    tw = jnp.asarray(_six_step_twiddles(n, a))
-    y = gl.gl_mul(y, tw.reshape((b, a) + (1,) * len(rest)))
+    y = gl._ntt_core(m, b, inverse=False, plan=inner_plan)  # (b, a, ...)
+    y = gl.gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
 
     z = jnp.swapaxes(y, 0, 1)  # (a, b, ...) — the transpose / all-to-all
-    out = gl._ntt_core(z, a, inverse=False)  # (a, b, ...)
+    out = gl._ntt_core(z, a, inverse=False, plan=outer_plan)  # (a, b, ...)
     return out.reshape((n,) + rest)
 
 
@@ -95,7 +75,9 @@ def ntt_six_step(x, n: int, a: Optional[int] = None):
     if a is None:
         log_n = n.bit_length() - 1
         a = 1 << (log_n // 2)
-    return _six_step_core(x, n, a)
+    b = n // a
+    return _six_step_core(x, gl._mid_twiddles_dev(n, a, False),
+                          gl.ntt_plan(b, False), gl.ntt_plan(a, False), n, a)
 
 
 def sharded_lde(mesh: Mesh, trace, n: int, offset: int, blowup: int,
@@ -106,15 +88,15 @@ def sharded_lde(mesh: Mesh, trace, n: int, offset: int, blowup: int,
     col_sharding = NamedSharding(mesh, P(None, axis))
     trace = jax.device_put(trace, col_sharding)
 
-    @partial(jax.jit, static_argnums=(1, 2, 3),
-             in_shardings=col_sharding, out_shardings=col_sharding)
-    def run(trace, n, offset, blowup):
-        polys = gl._ntt_core(trace, n, inverse=True)
-        inv_n = pow(n, gl.P - 2, gl.P)
-        polys = gl.gl_mul(polys, jnp.uint64(inv_n))
-        return gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    @partial(jax.jit, static_argnums=(4, 5))
+    def run(trace, inv_plan, off_pows, fwd_plan, n, blowup):
+        out = jax.lax.with_sharding_constraint(trace, col_sharding)
+        polys = gl.ntt_interpolate_body(out, inv_plan, n)
+        lde = gl.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
+        return jax.lax.with_sharding_constraint(lde, col_sharding)
 
-    return run(trace, n, offset, blowup)
+    return run(trace, gl.ntt_plan(n, True), gl._power_series_dev(offset, n),
+               gl.ntt_plan(n * blowup, False), n, blowup)
 
 
 def sharded_commit(mesh: Mesh, lde, axis: str = "x"):

@@ -6,8 +6,12 @@ Same 8-step protocol as the host :class:`winterfell_tpu.prover.Prover`
 
 - trace/aux/composition interpolation + coset LDE: device NTT
 - row hashing + Merkle layer reduction: vectorized Rescue-Prime
+  (PartitionOptions column-chunked hashing included —
+  prover/src/matrix/row_matrix.rs:184-229)
 - constraint evaluation: the AIR's own ``evaluate_transition`` traced with
-  :class:`JaxOps` over the whole CE domain in one jit
+  :class:`JaxOps` over the whole CE domain in one jit; sequence boundary
+  assertions evaluate their value polynomials with one batched in-graph NTT
+  (mirroring prover/src/constraints/evaluator/boundary.rs:29-445)
 - DEEP composition: pointwise rational evaluation over the LDE domain —
   C_z(x)/(x−z) + C_gz(x)/(x−z·g) with batched extension inversion. This is
   mathematically identical to the reference's coefficient-space synthetic
@@ -20,12 +24,18 @@ Only digests, OOD scalars, and queried rows cross to the host; the
 Fiat–Shamir transcript stays in the host channel, mirroring the reference's
 channel/compute split.
 
+Every domain-sized constant (NTT plans, offset power series, divisor
+inverses, periodic tables) is device-built once and passed into the jitted
+programs as a runtime ARGUMENT — executables stay small and warm-cache loads
+stay fast (the round-1 lesson).
+
 Proof bytes are asserted identical to the host prover in
 tests/test_device_prover.py — the two pipelines are pinned together.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
 from typing import List, Optional
 
 import numpy as np
@@ -38,7 +48,6 @@ from ..air.proof import FriProof, FriProofLayer, Proof, Queries
 from ..crypto.hashers import Rp64_256
 from ..crypto.merkle import MerkleTree
 from ..fri import FriOptions, fold_positions
-from ..math import ntt as host_ntt
 from ..math.fields import F64, Field
 from ..utils import tracing
 from ..ops import goldilocks as gl
@@ -217,7 +226,6 @@ class PrehashedMerkleTree(MerkleTree):
             self.leaves, self.nodes = real_leaves, real_nodes
 
 
-
 def _gl_sum(arr, axis: int = 0):
     """Tree-structured modular sum along a power-of-two axis."""
     arr = jnp.moveaxis(arr, axis, 0)
@@ -225,9 +233,6 @@ def _gl_sum(arr, axis: int = 0):
         half = arr.shape[0] // 2
         arr = gl.gl_add(arr[:half], arr[half : 2 * half])
     return arr[0]
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -278,16 +283,6 @@ def _ext_scalar(e: tuple):
     return jnp.asarray(np.array([list(e)], dtype=np.uint64))
 
 
-from functools import lru_cache
-
-
-@lru_cache(maxsize=None)
-def _power_series_dev(s: int, n: int, scale: int = 1):
-    """Host-precomputed power series kept resident on device (cached —
-    re-uploading tens of MB per prove would dominate DEEP wall clock)."""
-    return jnp.asarray(gl._powers_np(s, n, scale))
-
-
 @partial(jax.jit, static_argnums=(1, 2))
 def _transition_divisor_inv(xs, n: int, exemptions: tuple):
     """1/(x^n − 1) · Π(x − e) over the CE domain. xs is a traced argument so
@@ -306,65 +301,93 @@ def _boundary_divisor_inv(xs, a: int, b0: int):
     return gl.gl_inv(gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
 
 
+def _hash_rows_part(rows_2d, psize_base: int):
+    """Row hashing with PartitionOptions column chunking: each chunk of
+    psize_base base columns is hashed separately, then the chunk digests are
+    combined with merge_many — identical bytes to the host `_hash_rows`
+    (reference row_matrix.rs:184-229)."""
+    m, k = rows_2d.shape
+    if psize_base >= k:
+        return gl.rp64_hash_rows(rows_2d)
+    digests = [gl.rp64_hash_rows(rows_2d[:, i : i + psize_base])
+               for i in range(0, k, psize_base)]
+    return gl.rp64_hash_rows(jnp.concatenate(digests, axis=1))
+
+
 # above this LDE size the fused commit program exceeds single-chip HBM
 # (XLA holds the NTT stage intermediates of all fused steps concurrently);
 # run the steps as separate programs so buffers are freed between them
 _FUSE_LIMIT = 1 << 24
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _commit_pipeline_fused(matrix, n: int, offset: int, blowup: int):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
+                           n: int, blowup: int, psize: int):
     """Interpolate → coset LDE → row hash, ONE program per matrix shape
-    (fuses three dispatches — fewer remote compiles, fewer roundtrips)."""
-    polys = gl._ntt_core(matrix, n, inverse=True)
-    inv_n = pow(n, gl.P - 2, gl.P)
-    polys = gl.gl_mul(polys, jnp.uint64(inv_n))
-    lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    (fuses three dispatches — fewer remote compiles, fewer roundtrips).
+    NTT plans and offset powers are runtime arguments (small executables)."""
+    polys = gl.ntt_interpolate_body(matrix, inv_plan, n)
+    lde = gl.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
     rows_2d = lde.reshape(lde.shape[0], -1)
-    leaves = gl.rp64_hash_rows(rows_2d)
+    leaves = _hash_rows_part(rows_2d, psize)
     return polys, lde, leaves
 
 
-def _commit_pipeline(matrix, n: int, offset: int, blowup: int):
+def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int):
+    inv_plan = gl.ntt_plan(n, True)
+    fwd_plan = gl.ntt_plan(n * blowup, False)
+    off_pows = gl._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
-        return _commit_pipeline_fused(matrix, n, offset, blowup)
+        return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
+                                      n, blowup, psize)
     polys = gl.ntt_interpolate(matrix, n)
     lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
-    leaves = gl.rp64_hash_rows(lde.reshape(lde.shape[0], -1))
+    leaves = _hash_rows_split(lde.reshape(lde.shape[0], -1), psize)
     return polys, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _comp_segment(ce_column, ce: int, n: int, num_cols: int, offset: int):
-    coeffs = gl.ntt_interpolate_with_offset(ce_column, ce, offset)
+@partial(jax.jit, static_argnums=(1,))
+def _hash_rows_split(rows_2d, psize: int):
+    return _hash_rows_part(rows_2d, psize)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
+                                fwd_plan, ce: int, n: int, blowup: int,
+                                num_cols: int, psize: int):
+    """Composition commitment: iFFT the CE column, segment the first num_cols
+    trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash —
+    one program."""
+    coeffs = gl.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
+    d = ce_column.shape[-1]
+    comp_columns = jnp.swapaxes(
+        coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
+    lde = gl.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup)
+    rows_2d = lde.reshape(lde.shape[0], -1)
+    leaves = _hash_rows_part(rows_2d, psize)
+    return comp_columns, lde, leaves
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
+                  n: int):
+    coeffs = gl.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
     d = ce_column.shape[-1]
     return jnp.swapaxes(coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _comp_commit_pipeline_fused(ce_column, ce: int, n: int, offset: int,
-                                blowup: int, num_cols: int):
-    """Composition commitment: iFFT the CE column, segment the first num_cols
-    trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash —
-    one program."""
-    coeffs = gl.ntt_interpolate_with_offset(ce_column, ce, offset)
-    d = ce_column.shape[-1]
-    comp_columns = jnp.swapaxes(
-        coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
-    lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-    rows_2d = lde.reshape(lde.shape[0], -1)
-    leaves = gl.rp64_hash_rows(rows_2d)
-    return comp_columns, lde, leaves
-
-
 def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
-                          num_cols: int):
+                          num_cols: int, psize: int):
+    interp_pows = gl.interp_offset_powers(ce, offset)
+    inv_plan = gl.ntt_plan(ce, True)
     if n * blowup < _FUSE_LIMIT:
-        return _comp_commit_pipeline_fused(ce_column, ce, n, offset, blowup,
-                                           num_cols)
-    comp_columns = _comp_segment(ce_column, ce, n, num_cols, offset)
+        return _comp_commit_pipeline_fused(
+            ce_column, interp_pows, inv_plan, gl._power_series_dev(offset, n),
+            gl.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize)
+    comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
+                                 num_cols, n)
     lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-    leaves = gl.rp64_hash_rows(lde.reshape(lde.shape[0], -1))
+    leaves = _hash_rows_split(lde.reshape(lde.shape[0], -1), psize)
     return comp_columns, lde, leaves
 
 
@@ -406,11 +429,13 @@ class GoldilocksProver(Prover):
         lde_size = air.lde_domain_size
         ce_blowup = air.ce_blowup_factor
         ce = air.context.ce_domain_size
+        part = air.options.partition_options
 
         # 1 ----- trace commitment ------------------------------------------
         main_dev = gl.to_device(trace.main_segment())  # (n, w)
+        w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
-            main_dev, n, offset, blowup)
+            main_dev, n, offset, blowup, part.partition_size(w, 1))
         main_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
@@ -423,8 +448,9 @@ class GoldilocksProver(Prover):
             aux_rand_elements = air.get_aux_rand_elements(channel.public_coin)
             aux_obj = self.build_aux_trace(trace, aux_rand_elements)
             aux_dev = gl.to_device(aux_obj)  # (n, w_aux, d)
+            w_aux = aux_dev.shape[1]
             aux_polys, aux_lde, leaves = _commit_pipeline(
-                aux_dev, n, offset, blowup)
+                aux_dev, n, offset, blowup, part.partition_size(w_aux, d) * d)
             aux_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
             channel.commit_trace(aux_tree.root)
 
@@ -438,7 +464,8 @@ class GoldilocksProver(Prover):
         # 3 ----- composition commitment ------------------------------------
         num_cols = air.context.num_constraint_composition_columns()
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
-            ce_column, ce, n, offset, blowup, num_cols)
+            ce_column, ce, n, offset, blowup, num_cols,
+            part.partition_size(num_cols, d) * d)
         comp_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
@@ -540,14 +567,6 @@ class GoldilocksProver(Prover):
     # helpers
     # ------------------------------------------------------------------
 
-    def _commit_rows(self, rows_2d) -> PrehashedMerkleTree:
-        leaves = gl.rp64_hash_rows(rows_2d)
-        levels = gl.merkle_levels_rp64(leaves)
-        return PrehashedMerkleTree(
-            _DigestView(leaves),
-            _HeapNodesView(levels, leaves.shape[0]),
-            self.hasher)
-
     def _make_tree(self, leaves, levels_tuple) -> PrehashedMerkleTree:
         levels = {lvl.shape[0]: lvl for lvl in levels_tuple}
         return PrehashedMerkleTree(
@@ -574,10 +593,10 @@ class GoldilocksProver(Prover):
                               ccs):
         """Device mirror of prover/evaluator.py: one jitted program over the
         CE domain. Per-proof values (composition coefficients, aux randomness,
-        boundary values) are traced arguments, so repeated proofs of the same
-        AIR shape reuse the compiled executable."""
-        ext = air.ext_field
-        d = ext.degree
+        boundary values, sequence-assertion value polynomials) are traced
+        arguments, so repeated proofs of the same AIR shape reuse the
+        compiled executable."""
+        d = air.ext_field.degree
         blowup = air.options.blowup_factor
         ce_blowup = air.ce_blowup_factor
         stride = blowup // ce_blowup
@@ -599,48 +618,87 @@ class GoldilocksProver(Prover):
             aux_rand_arr = jnp.asarray(
                 np.array([list(e) for e in aux_rand_elements], dtype=np.uint64))
 
-        def pack_groups(groups):
-            ccs_out, vals_out = [], []
+        def pack_groups(groups, val_d: int):
+            """Per group: (single cc array, single value array, sequence cc
+            array, sequence coeff array). Value arrays are padded to the
+            group's static shape; all are traced per-proof inputs."""
+            packed = []
             for g in groups:
-                ccs_out.append(jnp.asarray(
-                    np.array([list(c.cc) for c in g.constraints], dtype=np.uint64)))
-                vals = []
-                for c in g.constraints:
-                    assert len(c.poly) == 1, (
-                        "sequence boundary assertions not yet supported on the "
-                        "device prover; use the host prover"
-                    )
-                    row = list(c.poly[0])
-                    vals.append(row + [0] * (d - len(row)))
-                vals_out.append(jnp.asarray(np.array(vals, dtype=np.uint64)))
-            return ccs_out, vals_out
+                singles = [c for c in g.constraints if len(c.poly) == 1]
+                seqs = [c for c in g.constraints if len(c.poly) > 1]
+                s_ccs = jnp.asarray(np.array(
+                    [list(c.cc) for c in singles], dtype=np.uint64).reshape(
+                        len(singles), d))
+                s_vals = np.zeros((len(singles), val_d), dtype=np.uint64)
+                for j, c in enumerate(singles):
+                    s_vals[j, : len(c.poly[0])] = list(c.poly[0])
+                q_ccs = jnp.asarray(np.array(
+                    [list(c.cc) for c in seqs], dtype=np.uint64).reshape(
+                        len(seqs), d))
+                if seqs:
+                    L = len(seqs[0].poly)
+                    q_coeffs = np.zeros((L, len(seqs), val_d), dtype=np.uint64)
+                    for j, c in enumerate(seqs):
+                        for i, v in enumerate(c.poly):
+                            q_coeffs[i, j, : len(v)] = list(v)
+                    q_coeffs = jnp.asarray(q_coeffs)
+                else:
+                    q_coeffs = jnp.zeros((0, 0, val_d), dtype=jnp.uint64)
+                packed.append((s_ccs, jnp.asarray(s_vals), q_ccs, q_coeffs))
+            return packed
 
-        b_main_ccs, b_main_vals = pack_groups(boundary.main_groups)
-        b_aux_ccs, b_aux_vals = pack_groups(boundary.aux_groups)
+        main_packed = pack_groups(boundary.main_groups, 1)
+        aux_packed = pack_groups(boundary.aux_groups, d)
 
-        fn = self._get_ce_fn(air, boundary, d)
+        fn, consts = self._get_ce_fn(air, boundary)
         return fn(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs_arr,
-                  aux_rand_arr, b_main_ccs, b_main_vals, b_aux_ccs, b_aux_vals)
+                  aux_rand_arr, main_packed, aux_packed, consts)
 
-    def _get_ce_fn(self, air, boundary, d: int):
-        """Builds (and caches) the jitted CE-domain evaluation program."""
+    def _get_ce_fn(self, air, boundary):
+        """Builds (and caches) the jitted CE-domain evaluation program plus
+        its device-resident per-structure constant pytree.
+
+        The cache key covers everything the compiled program bakes in:
+        the AIR type (whose evaluate_transition code is traced), domain
+        geometry, exemption count, per-group (divisor, columns, poly shapes,
+        poly offsets), and the periodic column polynomials. AIRs whose
+        ``evaluate_transition`` closes over public-input-derived constants
+        must expose them via ``device_transition_key()`` so distinct values
+        do not share a compiled program."""
         ce = air.context.ce_domain_size
         n = air.trace_length
         offset = air.domain_offset
         ce_blowup = air.ce_blowup_factor
         ext = air.ext_field
+        d = ext.degree
         p = gl.P
         n_main = len(air.context.main_degrees)
 
-        key = (type(air), n, ce, d, len(boundary.main_groups),
-               len(boundary.aux_groups))
-        cached = getattr(self, "_ce_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        def group_key(groups):
+            return tuple(
+                (tuple(g.divisor.numerator),
+                 tuple((c.column, len(c.poly), c.poly_offset)
+                       for c in g.constraints))
+                for g in groups)
 
-        # static per-domain constants (stable across proofs → cache-friendly)
+        extra = ()
+        if hasattr(air, "device_transition_key"):
+            extra = air.device_transition_key()
+        periodic_polys = air.get_periodic_column_polys()
+        key = (type(air), n, ce, d, air.context.num_transition_exemptions,
+               group_key(boundary.main_groups), group_key(boundary.aux_groups),
+               tuple(tuple(poly) for poly in periodic_polys), extra)
+        cache = getattr(self, "_ce_cache", None)
+        if cache is None:
+            cache = self._ce_cache = {}
+        if key in cache:
+            return cache[key]
+
+        # ---- device-resident per-structure constants (passed as ARGS) ----
+        from ..math import ntt as host_ntt
+
         periodic_dev = []
-        for poly in air.get_periodic_column_polys():
+        for poly in periodic_polys:
             c = len(poly)
             coeffs = np.array(poly, dtype=np.uint64)[:, None]
             vals = host_ntt.evaluate_poly_with_offset(
@@ -648,27 +706,47 @@ class GoldilocksProver(Prover):
             arr = jnp.asarray(vals.astype(np.uint64))
             periodic_dev.append(jnp.tile(arr, (ce // arr.shape[0], 1)))
 
-        xs = _power_series_dev(F64.get_root_of_unity(ce.bit_length() - 1), ce,
-                               offset)
+        xs = gl._power_series_dev(F64.get_root_of_unity(ce.bit_length() - 1),
+                                  ce, offset)
         divisor = ConstraintDivisor.from_transition(
             F64, n, air.context.num_transition_exemptions)
-        # divisor inverses computed once per domain via small jits with xs
-        # traced (keeps the pow/inv chains out of XLA's constant folder);
-        # the resulting arrays enter the big jit as plain data literals
+        # divisor inverses computed once per structure via small jits with xs
+        # traced (keeps the pow/inv chains out of XLA's constant folder)
         t_div_inv = _transition_divisor_inv(xs, n, tuple(divisor.exemptions))
-        main_group_meta = [
-            ([c.column for c in g.constraints],
-             _boundary_divisor_inv(xs, *g.divisor.numerator[0]))
-            for g in boundary.main_groups
-        ]
-        aux_group_meta = [
-            ([c.column for c in g.constraints],
-             _boundary_divisor_inv(xs, *g.divisor.numerator[0]))
-            for g in boundary.aux_groups
-        ]
+
+        plan_ce = gl.ntt_plan(ce, False)
+
+        def group_consts(groups):
+            out = []
+            for g in groups:
+                div_inv = _boundary_divisor_inv(xs, *g.divisor.numerator[0])
+                seqs = [c for c in g.constraints if len(c.poly) > 1]
+                if seqs:
+                    # per-column scale series (offset·poly_offset)^i for the
+                    # batched value-poly NTT (evaluator.py:162-189 on host)
+                    scales = jnp.stack(
+                        [gl._power_series_dev(offset * c.poly_offset % p, ce)
+                         for c in seqs], axis=1)  # (ce, n_seq)
+                else:
+                    scales = jnp.zeros((ce, 0), dtype=jnp.uint64)
+                out.append((div_inv, scales))
+            return out
+
+        consts = (t_div_inv, group_consts(boundary.main_groups),
+                  group_consts(boundary.aux_groups), periodic_dev, plan_ce)
+
+        main_cols = [
+            ([c.column for c in g.constraints if len(c.poly) == 1],
+             [c.column for c in g.constraints if len(c.poly) > 1])
+            for g in boundary.main_groups]
+        aux_cols = [
+            ([c.column for c in g.constraints if len(c.poly) == 1],
+             [c.column for c in g.constraints if len(c.poly) > 1])
+            for g in boundary.aux_groups]
 
         def run(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs,
-                aux_rands, b_main_ccs, b_main_vals, b_aux_ccs, b_aux_vals):
+                aux_rands, main_packed, aux_packed, consts):
+            t_div_inv, main_consts, aux_consts, periodic_dev, plan_ce = consts
             base_ops = JaxOps(Field(F64, 1))
             frame = EvaluationFrame(
                 [main_ce[:, c : c + 1] for c in range(main_ce.shape[1])],
@@ -703,32 +781,56 @@ class GoldilocksProver(Prover):
 
             result = gl.ext_mul_base(combined, t_div_inv)
 
-            def add_groups(meta, cc_arrs, val_arrs, trace, is_ext):
+            def add_groups(cols, group_consts_l, packed, trace, is_ext):
                 nonlocal result
-                for (cols, div_inv), cc_arr, val_arr in zip(meta, cc_arrs, val_arrs):
+                for (s_cols, q_cols), (div_inv, scales), \
+                        (s_ccs, s_vals, q_ccs, q_coeffs) in zip(
+                            cols, group_consts_l, packed):
                     numer = jnp.zeros((ce, d), dtype=jnp.uint64)
-                    for j, col in enumerate(cols):
+                    for j, col in enumerate(s_cols):
                         if is_ext:
                             diff = gl.ext_sub(
                                 trace[:, col],
-                                jnp.broadcast_to(val_arr[j][None, :], (ce, d)))
+                                jnp.broadcast_to(s_vals[j][None, :], (ce, d)))
                             numer = gl.ext_add(numer, gl.ext_mul(
-                                diff, jnp.broadcast_to(cc_arr[j][None, :],
+                                diff, jnp.broadcast_to(s_ccs[j][None, :],
                                                        diff.shape)))
                         else:
-                            diff = gl.gl_sub(trace[:, col], val_arr[j][0])
+                            diff = gl.gl_sub(trace[:, col], s_vals[j][0])
                             numer = gl.ext_add(
-                                numer, gl.gl_mul(diff[:, None], cc_arr[j][None, :]))
+                                numer, gl.gl_mul(diff[:, None], s_ccs[j][None, :]))
+                    if q_cols:
+                        # batched sequence value polys: zero-pad the (L, k)
+                        # coefficient block to the CE size, scale each column
+                        # by its (offset·poly_offset)^i series, one NTT
+                        L, k, vd = q_coeffs.shape
+                        padded = jnp.concatenate(
+                            [q_coeffs,
+                             jnp.zeros((ce - L, k, vd), dtype=jnp.uint64)],
+                            axis=0)
+                        scaled = gl.gl_mul(padded, scales[:, :, None])
+                        b_vals = gl.ntt_evaluate_body(scaled, plan_ce, ce)
+                        for j, col in enumerate(q_cols):
+                            if is_ext:
+                                diff = gl.ext_sub(trace[:, col], b_vals[:, j])
+                                numer = gl.ext_add(numer, gl.ext_mul(
+                                    diff, jnp.broadcast_to(q_ccs[j][None, :],
+                                                           diff.shape)))
+                            else:
+                                diff = gl.gl_sub(trace[:, col], b_vals[:, j, 0])
+                                numer = gl.ext_add(
+                                    numer,
+                                    gl.gl_mul(diff[:, None], q_ccs[j][None, :]))
                     result = gl.ext_add(result, gl.ext_mul_base(numer, div_inv))
 
-            add_groups(main_group_meta, b_main_ccs, b_main_vals, main_ce, False)
+            add_groups(main_cols, main_consts, main_packed, main_ce, False)
             if aux_ce is not None:
-                add_groups(aux_group_meta, b_aux_ccs, b_aux_vals, aux_ce, True)
+                add_groups(aux_cols, aux_consts, aux_packed, aux_ce, True)
             return result
 
         fn = jax.jit(run)
-        self._ce_cache = (key, fn)
-        return fn
+        cache[key] = (fn, consts)
+        return cache[key]
 
     # ------------------------------------------------------------------
 
@@ -742,7 +844,7 @@ class GoldilocksProver(Prover):
         lde_size = main_lde.shape[0]
         offset = air.domain_offset
         h = F64.get_root_of_unity(lde_size.bit_length() - 1)
-        xs = _power_series_dev(h, lde_size, offset)  # (lde,)
+        xs = gl._power_series_dev(h, lde_size, offset)  # (lde,)
 
         n_trace = len(trace_cur)
         # adjusted OOD constants: cc_i · T_i(z), cc_i · T_i(z·g)
@@ -766,9 +868,11 @@ class GoldilocksProver(Prover):
 
     def _get_deep_fn(self, d: int, lde_size: int, aux_width: int):
         key = (d, lde_size, aux_width)
-        cached = getattr(self, "_deep_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        cache = getattr(self, "_deep_cache", None)
+        if cache is None:
+            cache = self._deep_cache = {}
+        if key in cache:
+            return cache[key]
 
         def accumulate(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
                        z_arr, zg_arr, xs):
@@ -814,5 +918,5 @@ class GoldilocksProver(Prover):
                 gl.ext_mul(comp_gz, inv_gz))
 
         fn = jax.jit(accumulate)
-        self._deep_cache = (key, fn)
+        cache[key] = fn
         return fn
