@@ -61,6 +61,33 @@ def test_ntt_vs_host_oracle(n):
     assert (host_i == dev_i.astype(object)).all()
 
 
+def test_ntt_six_step_vs_host_oracle():
+    """n = 2^14 > _SMALL_NTT (2^13): exercises the recursive six-step
+    decomposition — the code path the production bench sizes (2^18+) run."""
+    n = 1 << 14
+    assert n > gl._SMALL_NTT
+    a = _rand_u64((n, 1))
+    host = ntt.evaluate_poly(F64, a.astype(object))
+    dev = np.asarray(gl.ntt_evaluate(gl.jnp.asarray(a), n))
+    assert (host == dev.astype(object)).all()
+
+    host_i = ntt.interpolate_poly(F64, a.astype(object))
+    dev_i = np.asarray(gl.ntt_interpolate(gl.jnp.asarray(a), n))
+    assert (host_i == dev_i.astype(object)).all()
+
+
+def test_ntt_six_step_offset_vs_host_oracle():
+    """Coset LDE (blowup 2) across the six-step boundary: 2^13-point polys,
+    2^14-point LDE domain."""
+    n = 1 << 13
+    blowup = 2
+    a = _rand_u64((n, 1))
+    host = ntt.evaluate_poly_with_offset(F64, a.astype(object), F64.generator, blowup)
+    dev = np.asarray(
+        gl.ntt_evaluate_with_offset(gl.jnp.asarray(a), n, F64.generator, blowup))
+    assert (host == dev.astype(object)).all()
+
+
 @pytest.mark.parametrize("blowup", [2, 8])
 def test_ntt_offset_vs_host_oracle(blowup):
     n = 64

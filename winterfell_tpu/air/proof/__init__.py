@@ -166,7 +166,8 @@ class Queries:
               values_per_query: int):
         """Returns (opening_proof_bytes, rows) where rows is a list of
         per-query element lists (queries.rs:86-135)."""
-        assert domain_size & (domain_size - 1) == 0
+        if domain_size & (domain_size - 1) != 0:
+            raise DeserializationError("query domain size must be a power of two")
         eb = field_.element_bytes
         expected = num_queries * values_per_query * eb
         if len(self.values) != expected:

@@ -61,8 +61,10 @@ class DefaultRandomCoin:
 
     def draw_integers(self, num_values: int, domain_size: int, nonce: int):
         """Integers in [0, domain_size); duplicates allowed (default.rs:210-247)."""
-        assert domain_size & (domain_size - 1) == 0, "domain size must be a power of two"
-        assert num_values < domain_size, "number of values must be smaller than domain size"
+        if domain_size & (domain_size - 1) != 0:
+            raise RandomCoinError("domain size must be a power of two")
+        if num_values >= domain_size:
+            raise RandomCoinError("number of values must be smaller than domain size")
         self.seed = self.hasher.merge_with_int(self.seed, nonce)
         self.counter = 0
         v_mask = domain_size - 1

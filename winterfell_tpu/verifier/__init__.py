@@ -112,7 +112,8 @@ def verify(air_class, proof: Proof, pub_inputs, hasher,
     base_field = Field(base, 1)
 
     air = air_class(proof.trace_info, pub_inputs, proof.options)
-    assert air.base is base, "proof field does not match AIR base field"
+    if air.base is not base:
+        raise VerifierError("proof field does not match AIR base field")
     ext = air.ext_field
 
     # public coin seed = context elements ‖ public inputs (lib.rs:100-101)
@@ -274,10 +275,12 @@ def verify(air_class, proof: Proof, pub_inputs, hasher,
         deep_evaluations.append(ext.div(num, den))
 
     # 7 ----- FRI verification --------------------------------------------
-    fri_channel = DefaultVerifierChannel(
-        proof.fri_proof, fri_roots, lde_domain_size,
-        air.options.fri_folding_factor, ext, hasher)
     try:
+        fri_channel = DefaultVerifierChannel(
+            proof.fri_proof, fri_roots, lde_domain_size,
+            air.options.fri_folding_factor, ext, hasher)
         fri_verifier.verify(fri_channel, deep_evaluations, positions)
+    except VerifierError:
+        raise
     except Exception as e:
         raise VerifierError(f"FRI verification failed: {e}")
