@@ -713,6 +713,21 @@ def _merge_level(level):
     return rp64_merge_rows(level[0::2], level[1::2])
 
 
+# Rescue merges hold ~8 live state copies per row in XLA fusion temps; a
+# 2^24-row merge alone approaches single-chip HBM. Merge huge levels in
+# fixed-size slabs through one shared compiled program.
+_MERGE_SLAB = 1 << 22
+
+
+def _merge_level_slabbed(level):
+    m = level.shape[0]
+    if m <= _MERGE_SLAB:
+        return _merge_level(level)
+    parts = [_merge_level(level[i : i + _MERGE_SLAB])
+             for i in range(0, m, _MERGE_SLAB)]
+    return jnp.concatenate(parts, axis=0)
+
+
 # levels at or below this size are reduced by ONE shared unrolled program
 # (the same (1024, 4) tail shape for every big tree)
 _MERKLE_TAIL = 1 << 10
@@ -737,7 +752,7 @@ def _merkle_levels_impl(leaves):
     levels = []
     current = leaves
     while current.shape[0] > _MERKLE_TAIL:
-        current = _merge_level(current)
+        current = _merge_level_slabbed(current)
         levels.append(current)
     if current.shape[0] > 1:
         levels.extend(_merkle_tail_impl(current))

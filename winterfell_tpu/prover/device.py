@@ -342,13 +342,29 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int):
                                       n, blowup, psize)
     polys = gl.ntt_interpolate(matrix, n)
     lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
-    leaves = _hash_rows_split(lde.reshape(lde.shape[0], -1), psize)
+    leaves = _hash_rows_slabbed(lde.reshape(lde.shape[0], -1), psize)
     return polys, lde, leaves
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _hash_rows_split(rows_2d, psize: int):
     return _hash_rows_part(rows_2d, psize)
+
+
+# Rescue row hashing holds ~8 live state copies per row in XLA fusion temps
+# (the inv-S-box chain); above this row count one program exceeds single-chip
+# HBM (2^25x12 OOMed at 26G / 15.75G), so hash in fixed-size slabs through
+# ONE compiled program reused per slab.
+_HASH_SLAB = 1 << 21
+
+
+def _hash_rows_slabbed(rows_2d, psize: int):
+    m = rows_2d.shape[0]
+    if m <= _HASH_SLAB:
+        return _hash_rows_split(rows_2d, psize)
+    parts = [_hash_rows_split(rows_2d[i : i + _HASH_SLAB], psize)
+             for i in range(0, m, _HASH_SLAB)]
+    return jnp.concatenate(parts, axis=0)
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
@@ -387,7 +403,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n)
     lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-    leaves = _hash_rows_split(lde.reshape(lde.shape[0], -1), psize)
+    leaves = _hash_rows_slabbed(lde.reshape(lde.shape[0], -1), psize)
     return comp_columns, lde, leaves
 
 
