@@ -1,0 +1,90 @@
+"""F128 device prover vs host prover: proof bytes must be IDENTICAL.
+
+Covers the reference-default configuration space (f128 base field + BLAKE3
+commitments — examples/src/lib.rs:8-10, 86-93): fib, rescue (periodic masks),
+rescue_raps (aux segment), PartitionOptions, and the 192-bit digest variant.
+"""
+
+import pytest
+
+from winterfell_tpu.air import FieldExtension, ProofOptions
+from winterfell_tpu.crypto.hashers import Blake3_192, Blake3_256
+from winterfell_tpu.examples.fibonacci import (
+    FibAir,
+    FibProver,
+    build_fib_trace,
+    compute_fib_term,
+)
+from winterfell_tpu.examples.rescue import (
+    RescueAir,
+    RescueProver,
+    RescuePublicInputs,
+    build_rescue_trace,
+    compute_hash_chain,
+)
+from winterfell_tpu.examples.rescue_raps import (
+    RescueRapsAir,
+    RescueRapsProver,
+    build_raps_trace,
+)
+from winterfell_tpu.math.fields import F128
+from winterfell_tpu.prover.device_f128 import F128Prover
+from winterfell_tpu.verifier import verify
+
+F128FibProver = F128Prover.accelerate(FibProver)
+
+
+@pytest.mark.parametrize("ext", [FieldExtension.NONE, FieldExtension.QUADRATIC])
+def test_fib_device_matches_host(ext):
+    options = ProofOptions(28, 8, 0, ext, 4, 7)
+    host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)
+
+
+def test_fib_device_blake3_192_and_grinding():
+    options = ProofOptions(28, 8, 4, FieldExtension.QUADRATIC, 8, 31)
+    host = FibProver(options, Blake3_192).prove(build_fib_trace(F128, 128))
+    dev = F128FibProver(options, Blake3_192).prove(build_fib_trace(F128, 128))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(FibAir, dev, compute_fib_term(F128, 128), Blake3_192)
+
+
+@pytest.mark.parametrize("partitions", [2, 4])
+def test_fib_device_partitions(partitions):
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7
+                           ).with_partitions(partitions, 2)
+    host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)
+
+
+def test_rescue_device_matches_host():
+    """Degree-3 constraints with cycle-16 periodic masks (rescue/air.rs)."""
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    seed = (42, 43)
+    iterations = 8  # trace length 128
+    trace = build_rescue_trace(seed, iterations)
+    pub = RescuePublicInputs(seed, compute_hash_chain(seed, iterations))
+    host = RescueProver(options, Blake3_256).prove(trace)
+    dev = F128Prover.accelerate(RescueProver)(options, Blake3_256).prove(
+        build_rescue_trace(seed, iterations))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(RescueAir, dev, pub, Blake3_256)
+
+
+def test_rescue_raps_device_matches_host():
+    """Randomized AIR: aux segment commit + aux transition on device."""
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    seeds = [(i * 2 + 1, i * 2 + 2) for i in range(8)]
+    permuted = seeds[2:] + seeds[:2]
+    trace = build_raps_trace(seeds, permuted)
+    host_prover = RescueRapsProver(options, Blake3_256)
+    pub = host_prover.get_pub_inputs(trace)
+    host = host_prover.prove(trace)
+    dev = F128Prover.accelerate(RescueRapsProver)(options, Blake3_256).prove(
+        build_raps_trace(seeds, permuted))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(RescueRapsAir, dev, pub, Blake3_256)

@@ -1,8 +1,12 @@
-"""JaxOps — the device engine handle passed to ``Air.evaluate_transition``.
+"""JaxOps — the device engine handles passed to ``Air.evaluate_transition``.
 
-Same interface as :class:`winterfell_tpu.ops.host.HostOps`, but arrays are
-uint64 JAX arrays shaped (n_rows, degree) and all arithmetic runs on the
-accelerator. The same AIR constraint code runs unchanged on either engine.
+Same interface as :class:`winterfell_tpu.ops.host.HostOps`, but arrays live
+on the accelerator. The same AIR constraint code runs unchanged on any
+engine:
+
+- :class:`JaxOps` (Goldilocks): uint64 arrays shaped (n_rows, degree).
+- :class:`JaxOpsF128` (f128): uint64 limb arrays shaped (n_rows, degree, 4)
+  — 32-bit little-endian digits per element (see ops/f128.py).
 """
 
 from __future__ import annotations
@@ -10,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..math.fields import Field
+from . import f128 as fd
 from . import goldilocks as gl
 
 
@@ -82,3 +87,77 @@ class JaxOps:
             return a, b
         shape = gl.jnp.broadcast_shapes(a.shape, b.shape)
         return gl.jnp.broadcast_to(a, shape), gl.jnp.broadcast_to(b, shape)
+
+
+class JaxOpsF128:
+    """Device engine handle for f128 AIRs: (n, d, 4) uint64 limb arrays."""
+
+    is_device = True
+
+    def __init__(self, field: Field):
+        assert field.base.name == "f128", "JaxOpsF128 supports the f128 field"
+        self.field = field
+
+    # -- construction -------------------------------------------------------
+
+    def constant(self, v: int):
+        d = self.field.degree
+        out = np.zeros((1, d), dtype=object)
+        out[0, 0] = v % fd.P
+        return fd.to_device(out)
+
+    def lift(self, e):
+        if not isinstance(e, tuple):
+            return e  # already a device limb array
+        d = self.field.degree
+        out = np.zeros((1, d), dtype=object)
+        for i, v in enumerate(e):
+            out[0, i] = int(v)
+        return fd.to_device(out)
+
+    def zeros(self, n: int):
+        return fd.jnp.zeros((n, self.field.degree, 4), dtype=fd.jnp.uint64)
+
+    # -- arithmetic ----------------------------------------------------------
+
+    def add(self, a, b):
+        a, b = self._broadcast(a, b)
+        return fd.ext_add(a, b)
+
+    def sub(self, a, b):
+        a, b = self._broadcast(a, b)
+        return fd.ext_sub(a, b)
+
+    def neg(self, a):
+        return fd.f128_neg(a)
+
+    def mul(self, a, b):
+        a, b = self._broadcast(a, b)
+        return fd.ext_mul(a, b)
+
+    def exp(self, a, k: int):
+        assert k >= 1
+        result = None
+        acc = a
+        while k > 0:
+            if k & 1:
+                result = acc if result is None else self.mul(result, acc)
+            k >>= 1
+            if k:
+                acc = self.mul(acc, acc)
+        return result
+
+    def mul_base(self, a, s):
+        if isinstance(s, int):
+            return fd.f128_mul(
+                a, fd.jnp.broadcast_to(fd.scalar(s), a.shape))
+        if s.ndim == a.ndim - 1:  # (n, 4) base scalars under (n, d, 4)
+            s = s[..., None, :]
+        return fd.f128_mul(a, fd.jnp.broadcast_to(s, a.shape))
+
+    @staticmethod
+    def _broadcast(a, b):
+        if a.shape == b.shape:
+            return a, b
+        shape = fd.jnp.broadcast_shapes(a.shape, b.shape)
+        return fd.jnp.broadcast_to(a, shape), fd.jnp.broadcast_to(b, shape)

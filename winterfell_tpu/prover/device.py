@@ -61,14 +61,24 @@ jnp = gl.jnp
 def _padded_take(arr, indexes):
     """Gather rows at python-int indexes, padding the index vector to the
     next power of two so distinct index COUNTS reuse the same compiled
-    gather (variable lengths would compile one program per count)."""
+    gather (variable lengths would compile one program per count).
+
+    The gather runs over a flattened 1-D view with host-computed word
+    indexes: gathering rows of a narrow (n, w) operand makes XLA copy it
+    into a lane-padded T(8,128) layout first (w=4 → 32× the bytes, a
+    32 GiB allocation at 2^25 rows); a flat vector gathers in place."""
     k = len(indexes)
+    row_shape = arr.shape[1:]
+    rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
+    word_idx = (np.asarray(indexes, dtype=np.int64)[:, None] * rw
+                + np.arange(rw, dtype=np.int64)[None, :]).reshape(-1)
     cap = 1
-    while cap < k:
+    while cap < k * rw:
         cap *= 2
-    padded = list(indexes) + [indexes[0]] * (cap - k)
-    rows = np.asarray(jnp.take(arr, jnp.asarray(padded), axis=0))
-    return rows[:k]
+    padded = np.concatenate(
+        [word_idx, np.full(cap - k * rw, word_idx[0], dtype=np.int64)])
+    rows = np.asarray(jnp.take(arr.reshape(-1), jnp.asarray(padded), axis=0))
+    return rows[: k * rw].reshape((k,) + row_shape)
 
 
 # every XLA program — even a one-row gather — costs a slow remote compile on
@@ -79,29 +89,32 @@ _PULL_THRESHOLD = 1 << 16
 
 
 class _DigestView:
-    """List-of-bytes view over an (n, 4) uint64 digest array (LE u64 rows are
-    exactly the ElementDigest byte layout)."""
+    """List-of-bytes view over an (n, w) word-array of digests: (n, 4) uint64
+    rows (Rescue ElementDigest) or (n, 8)/(n, 6) uint32 rows (BLAKE3) — the
+    LE word rows are exactly the digest byte layouts."""
 
-    __slots__ = ("arr", "_n", "_host")
+    __slots__ = ("arr", "_n", "_host", "_wdtype")
 
     def __init__(self, arr):
         self.arr = arr
         self._n = arr.shape[0]
         self._host = None
+        self._wdtype = "<u4" if arr.dtype == np.uint32 else "<u8"
 
     def __len__(self) -> int:
         return self._n
 
     def _host_all(self) -> np.ndarray:
         if self._host is None:
-            self._host = np.ascontiguousarray(np.asarray(self.arr).astype("<u8"))
+            self._host = np.ascontiguousarray(
+                np.asarray(self.arr).astype(self._wdtype))
         return self._host
 
     def __getitem__(self, i) -> bytes:
         if self._host is not None or self._n <= _PULL_THRESHOLD:
             return self._host_all()[int(i)].tobytes()
         row = _padded_take(self.arr, [int(i)])
-        return np.ascontiguousarray(row.astype("<u8"))[0].tobytes()
+        return np.ascontiguousarray(row.astype(self._wdtype))[0].tobytes()
 
     def fetch(self, indexes) -> dict:
         """Batched read of the requested digests."""
@@ -111,43 +124,58 @@ class _DigestView:
         if self._host is not None or self._n <= _PULL_THRESHOLD:
             host = self._host_all()
             return {i: host[int(i)].tobytes() for i in indexes}
-        rows = np.ascontiguousarray(_padded_take(self.arr, indexes).astype("<u8"))
+        rows = np.ascontiguousarray(
+            _padded_take(self.arr, indexes).astype(self._wdtype))
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
 @jax.jit
 def _heap_concat(levels_tuple):
     """Concatenate Merkle levels (sizes 1, 2, 4, ...) into one heap-ordered
-    array: flat[i − 1] = heap node i. One program per tree size; lets batch
-    openings fetch every needed internal node in a single gather."""
+    1-D word array: words of heap node i start at (i − 1)·w. One program per
+    tree size; lets batch openings fetch every needed internal node in a
+    single gather. Kept 1-D on purpose: a (nodes, w) operand makes XLA copy
+    it into a lane-padded T(8,128) gather layout (w=4 → 32× the bytes —
+    a 32 GiB allocation at 2^25 leaves); a flat vector gathers in place."""
     ordered = sorted(levels_tuple, key=lambda lvl: lvl.shape[0])
-    return jnp.concatenate(ordered, axis=0)
+    return jnp.concatenate(ordered, axis=0).reshape(-1)
 
 
 class _HeapNodesView:
-    """Heap-indexed digest view over a single heap-ordered device array
-    (flat[i − 1] = node i). Single-gather fetch for batch openings."""
+    """Heap-indexed digest view over a single heap-ordered device word array
+    (node i at words (i − 1)·w … i·w). Single-gather fetch for batch
+    openings."""
 
-    __slots__ = ("flat", "_n", "_host")
+    __slots__ = ("flat", "_n", "_w", "_host", "_wdtype")
 
     def __init__(self, levels: dict, num_leaves: int):
+        first = next(iter(levels.values()))
+        self._w = first.shape[1]
         self.flat = _heap_concat(tuple(levels.values()))
         self._n = num_leaves
         self._host = None
+        self._wdtype = "<u4" if self.flat.dtype == np.uint32 else "<u8"
 
     def __len__(self) -> int:
         return self._n
 
     def _host_all(self) -> np.ndarray:
         if self._host is None:
-            self._host = np.ascontiguousarray(np.asarray(self.flat).astype("<u8"))
+            self._host = np.ascontiguousarray(
+                np.asarray(self.flat).astype(self._wdtype)).reshape(
+                    -1, self._w)
         return self._host
+
+    def _take_nodes(self, nodes) -> np.ndarray:
+        w = self._w
+        word_idx = [(i - 1) * w + j for i in nodes for j in range(w)]
+        rows = _padded_take(self.flat, word_idx)
+        return np.ascontiguousarray(rows.astype(self._wdtype)).reshape(-1, w)
 
     def __getitem__(self, i) -> bytes:
         if self._host is not None or self._n <= _PULL_THRESHOLD:
             return self._host_all()[int(i) - 1].tobytes()
-        row = _padded_take(self.flat, [int(i) - 1])
-        return np.ascontiguousarray(row.astype("<u8"))[0].tobytes()
+        return self._take_nodes([int(i)])[0].tobytes()
 
     def fetch(self, indexes) -> dict:
         indexes = [int(i) for i in indexes]
@@ -156,8 +184,7 @@ class _HeapNodesView:
         if self._host is not None or self._n <= _PULL_THRESHOLD:
             host = self._host_all()
             return {i: host[i - 1].tobytes() for i in indexes}
-        rows = np.ascontiguousarray(_padded_take(
-            self.flat, [i - 1 for i in indexes]).astype("<u8"))
+        rows = self._take_nodes(indexes)
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
