@@ -1,17 +1,34 @@
 #!/usr/bin/env python3
-"""Flagship benchmark: prove a fibonacci f64 (Goldilocks) trace end-to-end on
-the attached TPU with the device-resident GoldilocksProver, cubic extension,
-Rescue-Prime commitments (one of BASELINE.json's named configs).
+"""TPU benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, ...}
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+Workloads (BENCH_WORKLOAD env var):
 
-vs_baseline compares against the closest published reference number: the
-Rescue hash-chain 2^20-step / 96-bit prove time of 50 s on an 8-core i9-9980KH
-(reference README.md table; no fibonacci timings are published). Ratio < 1
-means faster than the reference CPU baseline. Trace generation is excluded,
-matching the reference's reporting split; one warmup proof absorbs jit
-compilation (the reference's Rust is also pre-compiled).
+- ``fib`` (default): fibonacci f64 (Goldilocks) trace proved end-to-end with
+  the device-resident GoldilocksProver, cubic extension, Rescue-Prime
+  commitments (one of BASELINE.json's named configs). vs_baseline compares
+  against the closest published reference number: the Rescue hash-chain
+  96-bit prove time on an 8-core i9-9980KH matched by trace length
+  (reference README.md table; no fibonacci timings are published).
+
+- ``rescue_f128``: the reference's OWN headline benchmark, like for like —
+  a Rescue hash chain over f128 with Blake3_256 commitments at the 96-bit
+  parameters the published table uses (42 queries, blowup 4, grinding 16,
+  no extension — examples/src/rescue/mod.rs:44 + examples/src/lib.rs:60-105),
+  proved with the device F128Prover. BENCH_TRACE_LOG2 is the TRACE length
+  exponent; chain length = trace/16 (16 rows per Rescue permutation).
+  vs_baseline is the table's 96-bit prove time for that chain length.
+
+Ratio < 1 means faster than the reference CPU baseline. Trace generation is
+excluded, matching the reference's reporting split; one warmup proof absorbs
+jit compilation (the reference's Rust is also pre-compiled).
+
+Extra JSON fields (SURVEY §5.5 observability): per-phase seconds from
+WINTER-span tracing plus derived lower-bound throughput rates —
+``ntt_elems_per_s`` counts every column pass over its (i)NTT domain in the
+commit+FRI phases, ``hashes_per_s`` counts Merkle leaf+merge hashes; both
+divide by phase wall-clock that also covers the fused non-NTT work, so the
+true kernel rates are higher.
 """
 
 import json
@@ -22,18 +39,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "18"))
+def _phase_seconds(spans):
+    return {rec["name"]: rec["seconds"] for rec in spans}
 
-    # first compile over the remote-compile tunnel is slow (30-120 s per
-    # program); persist executables so repeated runs skip it entirely
-    import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def bench_fib(log2_len: int):
     from winterfell_tpu.air import FieldExtension, ProofOptions
     from winterfell_tpu.crypto.hashers import Rp64_256
     from winterfell_tpu.examples.fibonacci import (
@@ -52,32 +62,117 @@ def main() -> None:
         field_extension=FieldExtension.CUBIC,
         fri_folding_factor=8, fri_remainder_max_degree=31,
     )
-    prover_cls = GoldilocksProver.accelerate(FibSmallProver)
-    prover = prover_cls(options, Rp64_256)
-
+    prover = GoldilocksProver.accelerate(FibSmallProver)(options, Rp64_256)
     trace = build_fib_trace(F64, 2 * n)
 
-    # warmup (jit compile + twiddle caches)
-    proof = prover.prove(trace)
+    prover.prove(trace)  # warmup (jit compile + twiddle caches)
+
+    from winterfell_tpu.utils import tracing
 
     t0 = time.time()
     proof = prover.prove(trace)
     dt = time.time() - t0
+    spans = tracing.last_spans()
 
-    # sanity: the proof must verify
     verify(FibSmallAir, proof, compute_fib_term(F64, 2 * n), Rp64_256)
 
     # closest published reference figures: Rescue-chain 96-bit prove times on
     # the 8-core i9 (README.md table), matched by trace length
     baselines = {10: 0.04, 12: 0.14, 14: 0.6, 16: 2.5, 18: 11.0, 20: 50.0,
                  22: 220.0}  # 2^22 extrapolated at the table's ~4.5x/step
-    baseline_s = baselines.get(log2_len, 50.0)
-    print(json.dumps({
+    lde = n * options.blowup_factor
+    # columns through full-size (i)NTTs: trace interp+LDE (2 each), CE interp
+    # + comp-column LDE (3 ext cols), DEEP, FRI folds (geometric < 4/3)
+    ntt_cols = 2 * 2 + 2 * 3 + 3 + 2
+    info = {
         "metric": f"fib_f64_2^{log2_len}_cubic_rp64_prover_wall_clock",
         "value": round(dt, 3),
         "unit": "s",
-        "vs_baseline": round(dt / baseline_s, 4),
-    }))
+        "vs_baseline": round(dt / baselines.get(log2_len, 50.0), 4),
+    }
+    return info, spans, lde, ntt_cols, dt
+
+
+def bench_rescue_f128(log2_len: int):
+    from winterfell_tpu.air import FieldExtension, ProofOptions
+    from winterfell_tpu.crypto.hashers import Blake3_256
+    from winterfell_tpu.examples.rescue import (
+        RescueAir,
+        RescueProver,
+        RescuePublicInputs,
+        build_rescue_trace,
+        compute_hash_chain,
+    )
+    from winterfell_tpu.prover.device_f128 import F128Prover
+    from winterfell_tpu.verifier import verify
+
+    chain = 1 << (log2_len - 4)  # 16 trace rows per Rescue permutation
+    # the published table's 96-bit parameters (examples/src/rescue/mod.rs:44)
+    options = ProofOptions(
+        num_queries=42, blowup_factor=4, grinding_factor=16,
+        field_extension=FieldExtension.NONE,
+        fri_folding_factor=8, fri_remainder_max_degree=31,
+    )
+    prover = F128Prover.accelerate(RescueProver)(options, Blake3_256)
+    seed = (42, 43)
+    trace = build_rescue_trace(seed, chain)
+    pub = RescuePublicInputs(seed, compute_hash_chain(seed, chain))
+
+    prover.prove(trace)  # warmup
+
+    from winterfell_tpu.utils import tracing
+
+    t0 = time.time()
+    proof = prover.prove(trace)
+    dt = time.time() - t0
+    spans = tracing.last_spans()
+
+    verify(RescueAir, proof, pub, Blake3_256)
+
+    # reference README.md Rescue table, 96-bit prove column, by chain length
+    baselines = {10: 0.04, 12: 0.14, 14: 0.6, 16: 2.5, 18: 11.0, 20: 50.0}
+    lde = (1 << log2_len) * options.blowup_factor
+    ntt_cols = 2 * 4 + 2 * 1 + 1 + 2  # width-4 trace, 1 comp col, DEEP, FRI
+    info = {
+        "metric": f"rescue_f128_chain_2^{log2_len - 4}_96bit_blake3_prover_wall_clock",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(dt / baselines.get(log2_len - 4, 50.0), 4),
+    }
+    return info, spans, lde, ntt_cols, dt
+
+
+def main() -> None:
+    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "18"))
+    workload = os.environ.get("BENCH_WORKLOAD", "fib")
+
+    # first compile over the remote-compile tunnel is slow (30-120 s per
+    # program); persist executables so repeated runs skip it entirely
+    import jax
+
+    # the ambient axon sitecustomize overrides JAX_PLATFORMS — forcing CPU
+    # (e.g. for a smoke run while the TPU is busy) needs the config call
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if workload == "rescue_f128":
+        info, spans, lde, ntt_cols, dt = bench_rescue_f128(log2_len)
+    else:
+        info, spans, lde, ntt_cols, dt = bench_fib(log2_len)
+
+    phases = _phase_seconds(spans)
+    # ~2 hashes per LDE row across the trees (leaves + internal merges),
+    # 3 committed matrices + folded FRI layers ≈ 4x
+    commit_s = sum(v for k, v in phases.items() if "commit" in k) or dt
+    info["phases"] = {k: round(v, 3) for k, v in phases.items()}
+    info["ntt_elems_per_s"] = round(ntt_cols * lde / dt)
+    info["hashes_per_s"] = round(4 * 2 * lde / commit_s)
+    print(json.dumps(info))
 
 
 if __name__ == "__main__":

@@ -130,3 +130,15 @@ def test_merkle_build_vs_host():
     assert node_bytes[1] == host_tree.root
     for i in range(1, 16):
         assert node_bytes[i] == host_tree.nodes[i]
+
+
+def test_mds_freq_matches_direct():
+    """Frequency-domain MDS (mds_f64_12x12.rs port) == direct circulant
+    multiply, over random canonical states including near-p values."""
+    rng = np.random.default_rng(7)
+    state = rng.integers(0, F64.p, size=(64, 12), dtype=np.uint64)
+    state[0] = F64.p - 1  # max-value row: exercises every carry path
+    state[1] = 0
+    direct = np.asarray(gl._rp_mds(gl.jnp.asarray(state)))
+    freq = np.asarray(gl._rp_mds_freq(gl.jnp.asarray(state)))
+    assert np.array_equal(direct, freq)

@@ -630,7 +630,8 @@ def _rp_inv_sbox(state):
 def _rp_mds(state):
     """state: (m, 12) → MDS·state. Scan over the 12 columns with mul_small
     (all MDS entries are ≤ 26) — a small traced body instead of an unrolled
-    12×(full-multiply) chain."""
+    12×(full-multiply) chain. Kept as the readable oracle for the
+    frequency-domain version below (tests pin them equal)."""
     mds_t = jnp.asarray(_MDS_NP.T.copy())  # (12, 12): row k = MDS[:, k]
     cols = jnp.moveaxis(state, -1, 0)      # (12, m)
 
@@ -643,6 +644,126 @@ def _rp_mds(state):
     return acc
 
 
+# The circulant MDS matrix [7, 23, 8, 26, ...] diagonalizes under the DFT, so
+# the 12x12 multiply collapses to a Hadamard product in frequency domain where
+# the matrix entries are tiny (the matrix was CHOSEN for that), turning 144
+# modular multiplies per row into ~100 plain i64 add/shift/small-const ops.
+# Same split 3x4 real-FFT factorization and pre-scaled frequency constants as
+# the reference (crypto/src/hash/mds/mds_f64_12x12.rs:38-40, itself following
+# Nabaglo's Plonky2 kernel), re-derived here as lane-vectorized array ops.
+_MDS_FREQ_B1 = (16, 8, 16)
+_MDS_FREQ_B2 = ((-1, 2), (-1, 1), (4, 8))
+_MDS_FREQ_B3 = (-8, 1, 1)
+
+
+def _cmul_i64(c):
+    """Multiply an (m,) i64 lane by a small constant via shift/add/neg."""
+    def mul(x, k=c):
+        neg = k < 0
+        k = -k if neg else k
+        if k == 0:
+            return jnp.zeros_like(x)
+        out = None
+        bit = 0
+        while k:
+            if k & 1:
+                term = x << bit if bit else x
+                out = term if out is None else out + term
+            k >>= 1
+            bit += 1
+        return -out if neg else out
+    return mul
+
+
+def _mds12_freq(cols):
+    """cols: 12 (m,) int64 lanes (values < 2^32) → 12 (m,) int64 lanes of the
+    exact (unreduced) circulant product. Mirrors fft4_real / block1-3 /
+    ifft4_real_unreduced (math/src/fft/real_u64.rs:8-45)."""
+    def fft4(x0, x1, x2, x3):
+        z0, z2 = x0 + x2, x0 - x2
+        z1, z3 = x1 + x3, x1 - x3
+        return z0 + z1, (z2, -z3), z0 - z1
+
+    u0, u1, u2 = fft4(cols[0], cols[3], cols[6], cols[9])
+    u4, u5, u6 = fft4(cols[1], cols[4], cols[7], cols[10])
+    u8, u9, u10 = fft4(cols[2], cols[5], cols[8], cols[11])
+
+    # block1: real 3-point cyclic convolution with constant y
+    y0, y1, y2 = (_cmul_i64(c) for c in _MDS_FREQ_B1)
+    v0 = y0(u0) + y2(u4) + y1(u8)
+    v4 = y1(u0) + y0(u4) + y2(u8)
+    v8 = y2(u0) + y1(u4) + y0(u8)
+
+    # block2: complex lanes (Karatsuba with constant y)
+    (y0r, y0i), (y1r, y1i), (y2r, y2i) = _MDS_FREQ_B2
+    x0r, x0i = u1
+    x1r, x1i = u5
+    x2r, x2i = u9
+    x0s, x1s, x2s = x0r + x0i, x1r + x1i, x2r + x2i
+
+    def kprod(xr, xi, xs, yr, yi):
+        mr, mi = _cmul_i64(yr)(xr), _cmul_i64(yi)(xi)
+        return mr, mi, _cmul_i64(yr + yi)(xs)
+
+    m0 = kprod(x0r, x0i, x0s, y0r, y0i)
+    m1 = kprod(x1r, x1i, x1s, y2r, y2i)
+    m2 = kprod(x2r, x2i, x2s, y1r, y1i)
+    v1 = ((m0[0] - m0[1]) + (m1[2] - m1[0] - m1[1]) + (m2[2] - m2[0] - m2[1]),
+          (m0[2] - m0[0] - m0[1]) + (-m1[0] + m1[1]) + (-m2[0] + m2[1]))
+    m0 = kprod(x0r, x0i, x0s, y1r, y1i)
+    m1 = kprod(x1r, x1i, x1s, y0r, y0i)
+    m2 = kprod(x2r, x2i, x2s, y2r, y2i)
+    v5 = ((m0[0] - m0[1]) + (m1[0] - m1[1]) + (m2[2] - m2[0] - m2[1]),
+          (m0[2] - m0[0] - m0[1]) + (m1[2] - m1[0] - m1[1]) + (-m2[0] + m2[1]))
+    m0 = kprod(x0r, x0i, x0s, y2r, y2i)
+    m1 = kprod(x1r, x1i, x1s, y1r, y1i)
+    m2 = kprod(x2r, x2i, x2s, y0r, y0i)
+    v9 = ((m0[0] - m0[1]) + (m1[0] - m1[1]) + (m2[0] - m2[1]),
+          (m0[2] - m0[0] - m0[1]) + (m1[2] - m1[0] - m1[1])
+          + (m2[2] - m2[0] - m2[1]))
+
+    # block3: real lanes at the Nyquist frequency
+    y0, y1, y2 = (_cmul_i64(c) for c in _MDS_FREQ_B3)
+    v2 = y0(u2) - y2(u6) - y1(u10)
+    v6 = y1(u2) + y0(u6) - y2(u10)
+    v10 = y2(u2) + y1(u6) + y0(u10)
+
+    def ifft4(y0, y1, y2):
+        z0, z1 = y0 + y2, y0 - y2
+        z2, z3 = y1[0], -y1[1]
+        return z0 + z2, z1 + z3, z0 - z2, z1 - z3
+
+    s0, s3, s6, s9 = ifft4(v0, v1, v2)
+    s1, s4, s7, s10 = ifft4(v4, v5, v6)
+    s2, s5, s8, s11 = ifft4(v8, v9, v10)
+    return s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11
+
+
+def _rp_mds_freq(state):
+    """state: (m, 12) canonical u64 → MDS·state, canonical. Low/high 32-bit
+    halves go through the exact integer frequency-domain convolution
+    separately (linearity; no overflow), then one 96-bit Goldilocks reduction
+    recombines them (mds_f64_12x12.rs:41-69)."""
+    lo = (state & _MASK32).astype(jnp.int64)
+    hi = (state >> jnp.uint64(32)).astype(jnp.int64)
+    lo_out = [x.astype(jnp.uint64)
+              for x in _mds12_freq([lo[..., k] for k in range(12)])]
+    hi_out = [x.astype(jnp.uint64)
+              for x in _mds12_freq([hi[..., k] for k in range(12)])]
+
+    outs = []
+    for l, h in zip(lo_out, hi_out):
+        h_shift = h << jnp.uint64(32)
+        s_lo = l + h_shift                      # 96-bit value s = lo + hi·2^32
+        carry = (s_lo < h_shift).astype(jnp.uint64)
+        s_hi = (h >> jnp.uint64(32)) + carry
+        z = (s_hi << jnp.uint64(32)) - s_hi     # s_hi·2^32 ≡ s_hi·(2^32−1)+s_hi
+        res = s_lo + z
+        res = res + jnp.where(res < z, _MASK32, jnp.uint64(0))
+        outs.append(jnp.where(res >= _P64, res - _P64, res))
+    return jnp.stack(outs, axis=-1)
+
+
 @jax.jit
 def rp64_permutation_rows(state):
     """Vectorized Rescue-XLIX permutation: state (m, 12) u64, scanned over
@@ -651,10 +772,10 @@ def rp64_permutation_rows(state):
 
     def round_fn(state, ark_r):
         state = _rp_sbox(state)
-        state = _rp_mds(state)
+        state = _rp_mds_freq(state)
         state = gl_add(state, ark_r[0][None, :])
         state = _rp_inv_sbox(state)
-        state = _rp_mds(state)
+        state = _rp_mds_freq(state)
         state = gl_add(state, ark_r[1][None, :])
         return state, None
 

@@ -134,11 +134,12 @@ def _heap_concat(levels_tuple):
     """Concatenate Merkle levels (sizes 1, 2, 4, ...) into one heap-ordered
     1-D word array: words of heap node i start at (i − 1)·w. One program per
     tree size; lets batch openings fetch every needed internal node in a
-    single gather. Kept 1-D on purpose: a (nodes, w) operand makes XLA copy
-    it into a lane-padded T(8,128) gather layout (w=4 → 32× the bytes —
-    a 32 GiB allocation at 2^25 leaves); a flat vector gathers in place."""
+    single gather. Every step stays 1-D on purpose: XLA copies narrow
+    (nodes, w) concat/gather operands into lane-padded T(8,128) layouts
+    (w=4 → 32× the bytes — a 16 GiB operand for one 2^24-digest level);
+    rank-1 levels concatenate and gather in place."""
     ordered = sorted(levels_tuple, key=lambda lvl: lvl.shape[0])
-    return jnp.concatenate(ordered, axis=0).reshape(-1)
+    return jnp.concatenate([lvl.reshape(-1) for lvl in ordered])
 
 
 class _HeapNodesView:
@@ -360,6 +361,25 @@ def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
     return polys, lde, leaves
 
 
+def _lane_interp_lde(matrix, n: int, offset: int, blowup: int):
+    """Interpolate + coset-LDE one flattened column lane at a time. Above
+    _FUSE_LIMIT the whole-matrix NTT's transient buffers (several copies of
+    the padded (n·blowup, w, d) array inside the six-step stages) dominate
+    HBM; per-lane programs cap the peak at ~a few copies of ONE (n·blowup,)
+    lane while the finished lanes hold only their results."""
+    rest = matrix.shape[1:]
+    flat = matrix.reshape(n, -1)
+    polys_lanes, lde_lanes = [], []
+    for j in range(flat.shape[1]):
+        polys_j = gl.ntt_interpolate(flat[:, j : j + 1], n)
+        lde_j = gl.ntt_evaluate_with_offset(polys_j, n, offset, blowup)
+        polys_lanes.append(polys_j)
+        lde_lanes.append(lde_j)
+    polys = jnp.concatenate(polys_lanes, axis=1).reshape((n,) + rest)
+    lde = jnp.concatenate(lde_lanes, axis=1).reshape((n * blowup,) + rest)
+    return polys, lde
+
+
 def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int):
     inv_plan = gl.ntt_plan(n, True)
     fwd_plan = gl.ntt_plan(n * blowup, False)
@@ -367,8 +387,7 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int):
     if n * blowup < _FUSE_LIMIT:
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
                                       n, blowup, psize)
-    polys = gl.ntt_interpolate(matrix, n)
-    lde = gl.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    polys, lde = _lane_interp_lde(matrix, n, offset, blowup)
     leaves = _hash_rows_slabbed(lde.reshape(lde.shape[0], -1), psize)
     return polys, lde, leaves
 
@@ -429,9 +448,51 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
             gl.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n)
-    lde = gl.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
+    rest = comp_columns.shape[1:]
+    flat = comp_columns.reshape(n, -1)
+    lde_lanes = [gl.ntt_evaluate_with_offset(flat[:, j : j + 1], n, offset,
+                                             blowup)
+                 for j in range(flat.shape[1])]
+    lde = jnp.concatenate(lde_lanes, axis=1).reshape((n * blowup,) + rest)
     leaves = _hash_rows_slabbed(lde.reshape(lde.shape[0], -1), psize)
     return comp_columns, lde, leaves
+
+
+def _deep_term_update(comp_z, comp_gz, term, adj_z_i, adj_gz_i):
+    comp_z = gl.ext_add(comp_z, gl.ext_sub(
+        term, jnp.broadcast_to(adj_z_i[None, :], term.shape)))
+    comp_gz = gl.ext_add(comp_gz, gl.ext_sub(
+        term, jnp.broadcast_to(adj_gz_i[None, :], term.shape)))
+    return comp_z, comp_gz
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _deep_acc_base(comp_z, comp_gz, col, cc, adj_z_i, adj_gz_i):
+    """Fold one BASE trace column into the running DEEP numerators (the
+    huge-domain column-at-a-time path; donated sums — no buffer growth)."""
+    term = gl.gl_mul(col[:, None], cc[None, :])
+    return _deep_term_update(comp_z, comp_gz, term, adj_z_i, adj_gz_i)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _deep_acc_ext(comp_z, comp_gz, col, cc, adj_z_i, adj_gz_i):
+    """Fold one EXTENSION column (aux trace or composition) into the sums."""
+    term = gl.ext_mul(col, jnp.broadcast_to(cc[None, :], col.shape))
+    return _deep_term_update(comp_z, comp_gz, term, adj_z_i, adj_gz_i)
+
+
+@jax.jit
+def _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs):
+    """comp_z/(x−z) + comp_gz/(x−z·g) with one paired extension inversion."""
+    d = comp_z.shape[1]
+    xs_ext = jnp.pad(xs[:, None], ((0, 0), (0, d - 1)))
+    den_z = gl.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
+    den_gz = gl.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
+    inv_prod = gl.ext_inv(gl.ext_mul(den_z, den_gz))
+    inv_z = gl.ext_mul(inv_prod, den_gz)
+    inv_gz = gl.ext_mul(inv_prod, den_z)
+    return gl.ext_add(
+        gl.ext_mul(comp_z, inv_z), gl.ext_mul(comp_gz, inv_gz))
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -447,12 +508,44 @@ def _fri_layer_commit(evaluations, n_fold: int):
 
 class GoldilocksProver(Prover):
     """Drop-in Prover for f64 AIRs with the Rp64_256 hasher. Subclass or wrap
-    an existing prover class via ``accelerate``."""
+    an existing prover class via ``accelerate``.
+
+    Setting ``mesh`` (a ``jax.sharding.Mesh``) makes the whole pipeline run
+    SPMD over the mesh: the domain-sized arrays (trace, LDEs, CE column, DEEP
+    evaluations, FRI layers) are row-sharded at each phase boundary and XLA
+    partitions every jitted program, inserting the ICI collectives (the
+    all-to-all inside the six-step NTT reshape/transpose, all-gathers for row
+    hashing) automatically. Exact integer arithmetic means sharding cannot
+    change a proof byte — tests pin mesh-sharded bytes to the single-device
+    prover's (the TPU answer to the reference's rayon parallelism +
+    PartitionOptions, air/src/options.rs:404-445)."""
+
+    mesh = None
+    mesh_axis = "x"
 
     @classmethod
     def accelerate(cls, prover_cls):
         """Builds a device-accelerated subclass of a host Prover class."""
         return type(f"Goldilocks{prover_cls.__name__}", (cls, prover_cls), {})
+
+    def with_mesh(self, mesh, axis: str = "x"):
+        """Enable SPMD proving over ``mesh`` (returns self for chaining)."""
+        self.mesh = mesh
+        self.mesh_axis = axis
+        return self
+
+    def _shard_rows(self, arr):
+        """Row-shard a device array over the prover mesh (no-op without a
+        mesh, or when the row count doesn't divide across the devices)."""
+        if self.mesh is None:
+            return arr
+        n_dev = self.mesh.devices.size
+        if arr.shape[0] % n_dev != 0:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(self.mesh_axis, *(None,) * (arr.ndim - 1))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def prove(self, trace) -> Proof:
         pub_inputs = self.get_pub_inputs(trace)
@@ -475,10 +568,11 @@ class GoldilocksProver(Prover):
         part = air.options.partition_options
 
         # 1 ----- trace commitment ------------------------------------------
-        main_dev = gl.to_device(trace.main_segment())  # (n, w)
+        main_dev = self._shard_rows(gl.to_device(trace.main_segment()))  # (n, w)
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1))
+        main_lde = self._shard_rows(main_lde)
         main_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
@@ -490,17 +584,18 @@ class GoldilocksProver(Prover):
         if air.trace_info.is_multi_segment:
             aux_rand_elements = air.get_aux_rand_elements(channel.public_coin)
             aux_obj = self.build_aux_trace(trace, aux_rand_elements)
-            aux_dev = gl.to_device(aux_obj)  # (n, w_aux, d)
+            aux_dev = self._shard_rows(gl.to_device(aux_obj))  # (n, w_aux, d)
             w_aux = aux_dev.shape[1]
             aux_polys, aux_lde, leaves = _commit_pipeline(
                 aux_dev, n, offset, blowup, part.partition_size(w_aux, d) * d)
+            aux_lde = self._shard_rows(aux_lde)
             aux_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
             channel.commit_trace(aux_tree.root)
 
         # 2 ----- constraint evaluation -------------------------------------
         ccs = channel.get_constraint_composition_coeffs()
-        ce_column = self._evaluate_constraints(
-            air, main_lde, aux_lde, aux_rand_elements, ccs)  # (ce, d)
+        ce_column = self._shard_rows(self._evaluate_constraints(
+            air, main_lde, aux_lde, aux_rand_elements, ccs))  # (ce, d)
         ce_column.block_until_ready()
         phases.mark("evaluate_constraints", ce_domain_size=ce)
 
@@ -509,6 +604,7 @@ class GoldilocksProver(Prover):
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
             part.partition_size(num_cols, d) * d)
+        comp_lde = self._shard_rows(comp_lde)
         comp_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
@@ -542,6 +638,7 @@ class GoldilocksProver(Prover):
         deep_evaluations = self._deep_evaluations(
             air, ext, main_lde, aux_lde, comp_lde, z, zg,
             trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs)  # (lde, d)
+        deep_evaluations = self._shard_rows(deep_evaluations)
         deep_evaluations.block_until_ready()
         phases.mark("build_deep_composition_poly")
 
@@ -557,9 +654,9 @@ class GoldilocksProver(Prover):
             tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
-            evaluations = gl.fri_fold(
+            evaluations = self._shard_rows(gl.fri_fold(
                 evaluations, n_fold, offset, jnp.asarray(
-                    np.array(list(alpha), dtype=np.uint64)))
+                    np.array(list(alpha), dtype=np.uint64))))
             fri_layers.append((tree, transposed))
 
         rem_n = evaluations.shape[0]
@@ -903,6 +1000,31 @@ class GoldilocksProver(Prover):
             dtype=np.uint64))
         z_arr = jnp.asarray(np.array([list(z)], dtype=np.uint64))
         zg_arr = jnp.asarray(np.array([list(zg)], dtype=np.uint64))
+
+        if lde_size >= _FUSE_LIMIT:
+            # huge domains: accumulate column by column through small donated
+            # programs so only the two running sums + one column's temps are
+            # live (the one-program form holds every column's term at once)
+            comp_z = jnp.zeros((lde_size, d), dtype=jnp.uint64)
+            comp_gz = jnp.zeros((lde_size, d), dtype=jnp.uint64)
+            idx = 0
+            for c in range(main_lde.shape[1]):
+                comp_z, comp_gz = _deep_acc_base(
+                    comp_z, comp_gz, main_lde[:, c], cc_arr[idx],
+                    adj_z[idx], adj_gz[idx])
+                idx += 1
+            if aux_lde is not None:
+                for c in range(aux_lde.shape[1]):
+                    comp_z, comp_gz = _deep_acc_ext(
+                        comp_z, comp_gz, aux_lde[:, c], cc_arr[idx],
+                        adj_z[idx], adj_gz[idx])
+                    idx += 1
+            for j in range(comp_lde.shape[1]):
+                comp_z, comp_gz = _deep_acc_ext(
+                    comp_z, comp_gz, comp_lde[:, j], cc_arr[idx],
+                    adj_z[idx], adj_gz[idx])
+                idx += 1
+            return _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs)
 
         fn = self._get_deep_fn(d, lde_size,
                                aux_width=0 if aux_lde is None else aux_lde.shape[1])
