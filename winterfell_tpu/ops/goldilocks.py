@@ -54,6 +54,17 @@ _P64 = jnp.uint64(P)
 _MASK32 = jnp.uint64(0xFFFFFFFF)
 _EPS = jnp.uint64(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
 
+# WINTER_PALLAS=1 routes Rescue row hashing / Merkle merges through the
+# hand-written Mosaic kernels (ops.pallas_rescue) on TPU; the jnp path is
+# the oracle and the fallback everywhere else.
+import os as _os
+
+_USE_PALLAS = _os.environ.get("WINTER_PALLAS", "0") not in ("", "0")
+
+
+def _pallas_hashing(m: int) -> bool:
+    return _USE_PALLAS and m % 128 == 0 and jax.default_backend() == "tpu"
+
 
 # ================================================================================
 # Base field ops (uint64 arrays, canonical representation)
@@ -798,6 +809,10 @@ def rp64_hash_rows(rows):
     """hash_elements of each row: rows (m, k) u64 → digests (m, 4) u64
     (rp64_256/mod.rs:183-204: capacity[0] = k, absorb in chunks of 8)."""
     m, k = rows.shape
+    if _pallas_hashing(m):
+        from . import pallas_rescue
+
+        return pallas_rescue.rp64_hash_rows_pallas(rows)
     capacity = _traced_const_cols(rows, [k % P, 0, 0, 0])
     first = rows[:, :_RATE_WIDTH]
     pad = _RATE_WIDTH - first.shape[1]
@@ -820,6 +835,10 @@ def rp64_hash_rows(rows):
 @jax.jit
 def rp64_merge_rows(left, right):
     """merge of digest pairs: (m,4),(m,4) → (m,4) (rp64_256/mod.rs:208-221)."""
+    if _pallas_hashing(left.shape[0]):
+        from . import pallas_rescue
+
+        return pallas_rescue.rp64_merge_rows_pallas(left, right)
     capacity = _traced_const_cols(left, [_RATE_WIDTH, 0, 0, 0])
     state = jnp.concatenate([capacity, left, right], axis=1)
     state = rp64_permutation_rows(state)

@@ -388,7 +388,7 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int):
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
                                       n, blowup, psize)
     polys, lde = _lane_interp_lde(matrix, n, offset, blowup)
-    leaves = _hash_rows_slabbed(lde.reshape(lde.shape[0], -1), psize)
+    leaves = _hash_rows_slabbed(lde, psize)
     return polys, lde, leaves
 
 
@@ -404,12 +404,17 @@ def _hash_rows_split(rows_2d, psize: int):
 _HASH_SLAB = 1 << 21
 
 
-def _hash_rows_slabbed(rows_2d, psize: int):
-    m = rows_2d.shape[0]
+def _hash_rows_slabbed(lde, psize: int):
+    """Row-hash an (m, ...) LDE in slabs, flattening each slab's trailing
+    dims as part of the slab program: a whole-array (m, k) reshape copy of a
+    2^25-row LDE is 1.5 GB of extra residency for the entire hash phase."""
+    m = lde.shape[0]
     if m <= _HASH_SLAB:
-        return _hash_rows_split(rows_2d, psize)
-    parts = [_hash_rows_split(rows_2d[i : i + _HASH_SLAB], psize)
-             for i in range(0, m, _HASH_SLAB)]
+        return _hash_rows_split(lde.reshape(m, -1), psize)
+    parts = [
+        _hash_rows_split(lde[i : i + _HASH_SLAB].reshape(_HASH_SLAB, -1),
+                         psize)
+        for i in range(0, m, _HASH_SLAB)]
     return jnp.concatenate(parts, axis=0)
 
 
@@ -454,7 +459,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
                                              blowup)
                  for j in range(flat.shape[1])]
     lde = jnp.concatenate(lde_lanes, axis=1).reshape((n * blowup,) + rest)
-    leaves = _hash_rows_slabbed(lde.reshape(lde.shape[0], -1), psize)
+    leaves = _hash_rows_slabbed(lde, psize)
     return comp_columns, lde, leaves
 
 
@@ -604,6 +609,7 @@ class GoldilocksProver(Prover):
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
             part.partition_size(num_cols, d) * d)
+        del ce_column  # (ce, d) — dead from here; frees HBM at huge sizes
         comp_lde = self._shard_rows(comp_lde)
         comp_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
         channel.commit_constraints(comp_tree.root)
