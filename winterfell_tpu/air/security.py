@@ -66,6 +66,35 @@ class ProvenSecurity:
         return self.list_decoding >= bits or self.unique_decoding >= bits
 
 
+def _log2(x: float) -> float:
+    """Rust f64::log2 semantics: log2(0) = −inf, log2(<0) = NaN (Python's
+    math.log2 raises on both, which diverges for the boundary proximity
+    parameter m = ρ·n/2 where the list size l is +inf)."""
+    if x > 0.0:
+        return math.log2(x)
+    if x == 0.0:
+        return -math.inf
+    return math.nan
+
+
+def _rust_min(values) -> float:
+    """f64::min fold: NaN operands are skipped (security.rs:219 fold)."""
+    out = math.inf
+    for v in values:
+        if not math.isnan(v):
+            out = min(out, v)
+    return out
+
+
+def _as_u64(x: float) -> int:
+    """Rust `as u64` saturating float→int cast (NaN → 0)."""
+    if math.isnan(x) or x < 0.0:
+        return 0
+    if x == math.inf:
+        return (1 << 64) - 1
+    return int(x)
+
+
 def _list_decoding(options: ProofOptions, base_field_bits: int,
                    trace_domain_size: int, m: int, num_constraints: int,
                    num_committed_polys: int) -> int:
@@ -81,23 +110,24 @@ def _list_decoding(options: ProofOptions, base_field_bits: int,
     num_openings = 2.0
 
     eps = []
-    l = mf / (rho - (2.0 * mf / lde_domain_size))
+    den = rho - (2.0 * mf / lde_domain_size)
+    l = math.inf if den == 0.0 else mf / den  # list size (may be ±inf/neg)
 
     bf = (1.0 if options.batching_constraints == BatchingMethod.LINEAR
           else num_constraints - 1.0)
-    eps.append(-math.log2(l) - math.log2(bf) + ext_bits)
+    eps.append(-_log2(l) - _log2(bf) + ext_bits)
 
-    eps.append(-math.log2(
+    eps.append(-_log2(
         l * l * (max_deg * (h + num_openings - 1.0) + (h - 1.0))) + ext_bits)
 
     bf = (1.0 if options.batching_deep == BatchingMethod.LINEAR
           else num_committed_polys - 1.0)
-    eps.append(ext_bits - math.log2(
+    eps.append(ext_bits - _log2(
         (math.pow(mf + 0.5, 7.0) / (3.0 * math.pow(rho, 1.5)))
         * math.pow(lde_domain_size, 2.0) * bf))
 
-    eps.append(options.grinding_factor - math.log2(math.pow(alpha, num_queries)))
-    return int(min(eps))
+    eps.append(options.grinding_factor - _log2(math.pow(alpha, num_queries)))
+    return _as_u64(_rust_min(eps))
 
 
 def _unique_decoding(options: ProofOptions, base_field_bits: int,
@@ -133,8 +163,8 @@ def _unique_decoding(options: ProofOptions, base_field_bits: int,
     if fri.num_fri_layers(int(lde_domain_size)) > 0:
         eps.append(ext_bits - math.log2((folding - 1.0) * (lde_domain_size + 1.0)))
 
-    eps.append(options.grinding_factor - math.log2(math.pow(alpha, num_queries)))
-    return int(min(eps))
+    eps.append(options.grinding_factor - _log2(math.pow(alpha, num_queries)))
+    return _as_u64(_rust_min(eps))
 
 
 def _compute_upper_m(h: int) -> float:

@@ -37,15 +37,27 @@ def build_options(args) -> ProofOptions:
     )
 
 
+
+def _accel_f128(cls, device: bool):
+    """Wrap an f128 example prover class with the device F128Prover when
+    --device is set (BLAKE3 hashers only — the device row hasher)."""
+    if not device:
+        return cls
+    from ..prover.device_f128 import F128Prover
+
+    return F128Prover.accelerate(cls)
+
+
 def get_example(name: str, n: int, options: ProofOptions, hasher, device: bool):
     """Returns (prover, trace, air_class, pub_inputs_fn)."""
     if name in ("fib", "fib2"):
         from .fibonacci import FibAir, FibProver, build_fib_trace
-        prover = FibProver(options, hasher)
-        return prover, build_fib_trace(F128, n), FibAir
+        return (_accel_f128(FibProver, device)(options, hasher),
+                build_fib_trace(F128, n), FibAir)
     if name == "fib8":
         from .fibonacci import Fib8Air, Fib8Prover, build_fib8_trace
-        return Fib8Prover(options, hasher), build_fib8_trace(F128, n), Fib8Air
+        return (_accel_f128(Fib8Prover, device)(options, hasher),
+                build_fib8_trace(F128, n), Fib8Air)
     if name == "fib_small":
         from ..prover.device import GoldilocksProver
         from .fibonacci import FibSmallAir, FibSmallProver, build_fib_trace
@@ -54,27 +66,30 @@ def get_example(name: str, n: int, options: ProofOptions, hasher, device: bool):
         return cls(options, hasher), build_fib_trace(F64, n), FibSmallAir
     if name == "mulfib":
         from .fibonacci import MulFib2Air, MulFib2Prover, build_mulfib_trace
-        return MulFib2Prover(options, hasher), build_mulfib_trace(F128, n), MulFib2Air
+        return (_accel_f128(MulFib2Prover, device)(options, hasher),
+                build_mulfib_trace(F128, n), MulFib2Air)
     if name == "mulfib8":
         from .fibonacci import MulFib8Air, MulFib8Prover, build_mulfib8_trace
-        return MulFib8Prover(options, hasher), build_mulfib8_trace(F128, n), MulFib8Air
+        return (_accel_f128(MulFib8Prover, device)(options, hasher),
+                build_mulfib8_trace(F128, n), MulFib8Air)
     if name == "vdf":
         from .vdf import VdfAir, VdfProver, build_vdf_trace
-        return VdfProver(options, hasher), build_vdf_trace(F128, 123, n), VdfAir
+        return (_accel_f128(VdfProver, device)(options, hasher),
+                build_vdf_trace(F128, 123, n), VdfAir)
     if name == "vdfx":
         from .vdf import VdfExemptAir, VdfExemptProver, build_vdf_trace_exempt
-        return (VdfExemptProver(options, hasher),
+        return (_accel_f128(VdfExemptProver, device)(options, hasher),
                 build_vdf_trace_exempt(F128, 123, n), VdfExemptAir)
     if name == "rescue":
         from .rescue import RescueAir, RescueProver, build_rescue_trace
-        return (RescueProver(options, hasher),
+        return (_accel_f128(RescueProver, device)(options, hasher),
                 build_rescue_trace((42, 43), n), RescueAir)
     if name == "rescue_raps":
         from .rescue_raps import (RescueRapsAir, RescueRapsProver,
                                   build_raps_trace)
         seeds = [(i + 1, i + 2) for i in range(n)]
         permuted = seeds[2:] + seeds[:2]
-        return (RescueRapsProver(options, hasher),
+        return (_accel_f128(RescueRapsProver, device)(options, hasher),
                 build_raps_trace(seeds, permuted), RescueRapsAir)
     if name == "merkle":
         from .merkle import (MerkleAir, MerkleProver, build_merkle_trace,
@@ -82,7 +97,7 @@ def get_example(name: str, n: int, options: ProofOptions, hasher, device: bool):
         value, index = (42, 43), 13 % (1 << n)
         leaves, nodes = build_rescue128_merkle_tree(n, value, index)
         leaf, path = merkle_prove_path(leaves, nodes, index)
-        prover = MerkleProver(options, hasher, nodes[1])
+        prover = _accel_f128(MerkleProver, device)(options, hasher, nodes[1])
         return prover, build_merkle_trace(value, [leaf] + path, index), MerkleAir
     if name == "lamport":
         from .lamport import (LamportAggregateAir, LamportAggregateProver,
@@ -94,7 +109,7 @@ def get_example(name: str, n: int, options: ProofOptions, hasher, device: bool):
         sigs = [k.sign(f"test message {i}".encode())
                 for i, k in enumerate(keys)]
         pks = [k.pub_key() for k in keys]
-        prover = LamportAggregateProver(options, hasher, pks, msgs)
+        prover = _accel_f128(LamportAggregateProver, device)(options, hasher, pks, msgs)
         return prover, build_lamport_trace(msgs, sigs), LamportAggregateAir
     raise SystemExit(f"unknown example: {name}")
 
@@ -115,7 +130,8 @@ def main(argv=None) -> None:
     parser.add_argument("-H", "--hash", dest="hash_fn", default="blake3_256",
                         choices=sorted(HASHERS))
     parser.add_argument("--device", action="store_true",
-                        help="use the JAX/TPU device prover (f64 + rp64_256 only)")
+                        help="use the JAX/TPU device prover (f64+rp64_256 via "
+                             "GoldilocksProver; f128+blake3 via F128Prover)")
     args = parser.parse_args(argv)
 
     options = build_options(args)

@@ -51,6 +51,10 @@ from ..fri import FriOptions, fold_positions
 from ..math.fields import F64, Field
 from ..utils import tracing
 from ..ops import goldilocks as gl
+
+import os as _os_mod
+
+_MEMLOG = bool(_os_mod.environ.get("WINTER_MEMLOG"))
 from ..ops.jax_ops import JaxOps
 from . import Prover
 from .channel import ProverChannel
@@ -611,7 +615,15 @@ class GoldilocksProver(Prover):
             part.partition_size(num_cols, d) * d)
         del ce_column  # (ce, d) — dead from here; frees HBM at huge sizes
         comp_lde = self._shard_rows(comp_lde)
-        comp_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
+        if _MEMLOG:
+            leaves.block_until_ready()
+            phases.mark("memlog_comp_pipeline")
+        comp_levels = gl._merkle_levels_impl(leaves)
+        if _MEMLOG:
+            comp_levels[-1].block_until_ready()
+            phases.mark("memlog_comp_merkle_levels")
+        comp_tree = self._make_tree(leaves, comp_levels)
+        del comp_levels
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
 

@@ -32,6 +32,21 @@ def last_spans() -> List[Dict]:
     return list(_records)
 
 
+def _device_mem() -> Dict:
+    """Device HBM stats (WINTER_MEMLOG=1): bytes in use + peak, in MiB."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            "hbm_mib": stats.get("bytes_in_use", 0) // (1 << 20),
+            "hbm_peak_mib": stats.get("peak_bytes_in_use", 0) // (1 << 20),
+            "hbm_limit_mib": stats.get("bytes_limit", 0) // (1 << 20),
+        }
+    except Exception:  # pragma: no cover - stats are backend-dependent
+        return {}
+
+
 class Phases:
     """Sequential phase timer: ``mark(name)`` records the time since the
     previous mark. Used by the provers to report per-phase wall clock like the
@@ -46,6 +61,8 @@ class Phases:
         now = time.perf_counter()
         dt = now - self._last
         self._last = now
+        if os.environ.get("WINTER_MEMLOG"):
+            fields.update(_device_mem())
         _records.append({"name": name, "seconds": dt, "depth": 1, **fields})
         if enabled():
             extra = "".join(f" {k}={v}" for k, v in fields.items())
