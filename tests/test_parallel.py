@@ -87,3 +87,32 @@ def test_sharded_commit_root_matches_host():
               for row in lde]
     host_tree = MerkleTree(leaves, Rp64_256)
     assert root_bytes == host_tree.root
+
+
+def test_ntt_six_step_2d_mesh():
+    """Six-step NTT over a 2-D (host x chip) mesh == single-device NTT.
+    Exercises the all-to-all transpose across both mesh axes (the host axis
+    models the DCN boundary of a multi-host pod)."""
+    from winterfell_tpu.parallel import make_mesh_2d, ntt_six_step_2d
+
+    n = 1 << 12
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, F64.p, size=(n,), dtype=np.uint64)
+    expected = np.asarray(gl.ntt_evaluate(gl.jnp.asarray(x), n))
+    for hosts, chips in ((2, 4), (4, 2)):
+        mesh = make_mesh_2d(hosts, chips)
+        got = np.asarray(ntt_six_step_2d(mesh, gl.jnp.asarray(x), n))
+        assert np.array_equal(got, expected), (hosts, chips)
+
+
+def test_ntt_six_step_2d_mesh_columns():
+    """Same, with trailing column dims (the trace-matrix shape)."""
+    from winterfell_tpu.parallel import make_mesh_2d, ntt_six_step_2d
+
+    n = 1 << 11
+    rng = np.random.default_rng(10)
+    x = rng.integers(0, F64.p, size=(n, 3), dtype=np.uint64)
+    expected = np.asarray(gl.ntt_evaluate(gl.jnp.asarray(x), n))
+    mesh = make_mesh_2d(2, 4)
+    got = np.asarray(ntt_six_step_2d(mesh, gl.jnp.asarray(x), n))
+    assert np.array_equal(got, expected)

@@ -33,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..math.fields import F64
 from ..ops import goldilocks as gl
 
-__all__ = ["make_mesh", "ntt_six_step", "sharded_lde", "sharded_commit"]
+__all__ = ["make_mesh", "make_mesh_2d", "ntt_six_step", "ntt_six_step_2d",
+           "sharded_lde", "sharded_commit"]
 
 
 from functools import lru_cache
@@ -78,6 +79,56 @@ def ntt_six_step(x, n: int, a: Optional[int] = None):
     b = n // a
     return _six_step_core(x, gl._mid_twiddles_dev(n, a, False),
                           gl.ntt_plan(b, False), gl.ntt_plan(a, False), n, a)
+
+
+def make_mesh_2d(n_hosts: int, chips_per_host: int,
+                 axes=("host", "chip")) -> Mesh:
+    """(hosts × chips) mesh: the outer axis models the DCN boundary, the
+    inner axis ICI. On real pods jax.devices() orders devices host-major, so
+    this reshape puts each host's chips on one row; on the CPU test backend
+    the virtual devices stand in for both."""
+    devices = np.array(jax.devices()[: n_hosts * chips_per_host])
+    return Mesh(devices.reshape(n_hosts, chips_per_host), axis_names=axes)
+
+
+@lru_cache(maxsize=None)
+def _six_step_2d_fn(mesh: Mesh, n: int, a: int, axes):
+    """Jitted six-step NTT with explicit 2-D shardings (cached per mesh/size).
+
+    The (b, a) matrix is sharded on the COLUMN axis over the full
+    (host × chip) mesh for the inner length-b NTTs (each device owns whole
+    columns — fully local), and re-sharded on its new column axis after the
+    transpose — the transpose is thus ONE all-to-all whose host-axis
+    component is the only DCN traffic of the entire transform. This is the
+    standard distributed-FFT factorization (SURVEY §5.8; the multi-host
+    scaling recipe in SCALING.md builds on it)."""
+    b = n // a
+    col_spec = NamedSharding(mesh, P(None, axes))
+
+    @jax.jit
+    def run(x, mid_tw):
+        rest = x.shape[1:]
+        m = jax.lax.with_sharding_constraint(
+            x.reshape((b, a) + rest),
+            NamedSharding(mesh, P(None, axes, *(None,) * len(rest))))
+        y = gl._ntt_core(m, b, inverse=False, plan=gl.ntt_plan(b, False))
+        y = gl.gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
+        z = jnp.swapaxes(y, 0, 1)  # (a, b, ...) — the all-to-all
+        z = jax.lax.with_sharding_constraint(
+            z, NamedSharding(mesh, P(None, axes, *(None,) * len(rest))))
+        out = gl._ntt_core(z, a, inverse=False, plan=gl.ntt_plan(a, False))
+        return out.reshape((n,) + rest)
+
+    return run
+
+
+def ntt_six_step_2d(mesh: Mesh, x, n: int, a: Optional[int] = None):
+    """Distributed NTT over a 2-D (host × chip) mesh: natural order in/out,
+    values identical to ``gl.ntt_evaluate`` (pinned in tests)."""
+    if a is None:
+        a = 1 << ((n.bit_length() - 1) // 2)
+    fn = _six_step_2d_fn(mesh, n, a, tuple(mesh.axis_names))
+    return fn(x, gl._mid_twiddles_dev(n, a, False))
 
 
 def sharded_lde(mesh: Mesh, trace, n: int, offset: int, blowup: int,
