@@ -88,3 +88,14 @@ def test_rescue_raps_device_matches_host():
         build_raps_trace(seeds, permuted))
     assert dev.to_bytes() == host.to_bytes()
     verify(RescueRapsAir, dev, pub, Blake3_256)
+
+
+def test_fib_device_sha3_matches_host():
+    """SHA3-256 commitments on the device path (vectorized Keccak)."""
+    from winterfell_tpu.crypto.hashers import Sha3_256
+
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    host = FibProver(options, Sha3_256).prove(build_fib_trace(F128, 128))
+    dev = F128FibProver(options, Sha3_256).prove(build_fib_trace(F128, 128))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(FibAir, dev, compute_fib_term(F128, 128), Sha3_256)

@@ -133,62 +133,66 @@ class _DigestView:
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 
 
-@jax.jit
-def _heap_concat(levels_tuple):
-    """Concatenate Merkle levels (sizes 1, 2, 4, ...) into one heap-ordered
-    1-D word array: words of heap node i start at (i − 1)·w. One program per
-    tree size; lets batch openings fetch every needed internal node in a
-    single gather. Every step stays 1-D on purpose: XLA copies narrow
-    (nodes, w) concat/gather operands into lane-padded T(8,128) layouts
-    (w=4 → 32× the bytes — a 16 GiB operand for one 2^24-digest level);
-    rank-1 levels concatenate and gather in place."""
-    ordered = sorted(levels_tuple, key=lambda lvl: lvl.shape[0])
-    return jnp.concatenate([lvl.reshape(-1) for lvl in ordered])
-
-
 class _HeapNodesView:
-    """Heap-indexed digest view over a single heap-ordered device word array
-    (node i at words (i − 1)·w … i·w). Single-gather fetch for batch
-    openings."""
+    """Heap-indexed digest view over the per-level device arrays produced by
+    the Merkle kernels (node i lives in the level of size 2^⌊log2 i⌋ at
+    offset i − 2^⌊log2 i⌋). Levels are kept SEPARATE on purpose: concatenating
+    them into one heap array doubles tree residency and the concat's
+    relayout transients OOM huge domains (2^25-leaf trees hold 1 GiB of
+    internal nodes). Small levels (≤ _PULL_THRESHOLD nodes) are pulled to the
+    host wholesale — plain transfers compile nothing on the remote-compile
+    tunnel — while the few big bottom levels use the pow2-padded flat gather;
+    level sizes repeat across the trace/constraint/FRI trees of one proof, so
+    the handful of per-level-size gather programs is shared."""
 
-    __slots__ = ("flat", "_n", "_w", "_host", "_wdtype")
+    __slots__ = ("levels", "_n", "_w", "_host_levels", "_wdtype")
 
     def __init__(self, levels: dict, num_leaves: int):
         first = next(iter(levels.values()))
         self._w = first.shape[1]
-        self.flat = _heap_concat(tuple(levels.values()))
+        self.levels = levels
         self._n = num_leaves
-        self._host = None
-        self._wdtype = "<u4" if self.flat.dtype == np.uint32 else "<u8"
+        self._host_levels = {}
+        self._wdtype = "<u4" if first.dtype == np.uint32 else "<u8"
 
     def __len__(self) -> int:
         return self._n
 
-    def _host_all(self) -> np.ndarray:
-        if self._host is None:
-            self._host = np.ascontiguousarray(
-                np.asarray(self.flat).astype(self._wdtype)).reshape(
-                    -1, self._w)
-        return self._host
+    def _host_level(self, size: int) -> np.ndarray:
+        lvl = self._host_levels.get(size)
+        if lvl is None:
+            lvl = np.ascontiguousarray(
+                np.asarray(self.levels[size]).astype(self._wdtype))
+            self._host_levels[size] = lvl
+        return lvl
 
     def _take_nodes(self, nodes) -> np.ndarray:
         w = self._w
-        word_idx = [(i - 1) * w + j for i in nodes for j in range(w)]
-        rows = _padded_take(self.flat, word_idx)
-        return np.ascontiguousarray(rows.astype(self._wdtype)).reshape(-1, w)
+        out = np.empty((len(nodes), w), dtype=self._wdtype)
+        by_size = {}
+        for k, i in enumerate(nodes):
+            size = 1 << (int(i).bit_length() - 1)
+            by_size.setdefault(size, []).append((k, int(i) - size))
+        for size, entries in by_size.items():
+            if size <= _PULL_THRESHOLD:
+                host = self._host_level(size)
+                for k, off in entries:
+                    out[k] = host[off]
+            else:
+                rows = _padded_take(self.levels[size],
+                                    [off for _, off in entries])
+                rows = np.ascontiguousarray(rows.astype(self._wdtype))
+                for j, (k, _) in enumerate(entries):
+                    out[k] = rows[j]
+        return out
 
     def __getitem__(self, i) -> bytes:
-        if self._host is not None or self._n <= _PULL_THRESHOLD:
-            return self._host_all()[int(i) - 1].tobytes()
         return self._take_nodes([int(i)])[0].tobytes()
 
     def fetch(self, indexes) -> dict:
         indexes = [int(i) for i in indexes]
         if not indexes:
             return {}
-        if self._host is not None or self._n <= _PULL_THRESHOLD:
-            host = self._host_all()
-            return {i: host[i - 1].tobytes() for i in indexes}
         rows = self._take_nodes(indexes)
         return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
 

@@ -37,12 +37,13 @@ import jax
 from ..air.air import EvaluationFrame
 from ..air.divisor import ConstraintDivisor
 from ..air.proof import FriProof, FriProofLayer, Proof, Queries
-from ..crypto.hashers import Blake3_192, Blake3_256
+from ..crypto.hashers import Blake3_192, Blake3_256, Sha3_256
 from ..fri import FriOptions, fold_positions
 from ..math.fields import F128, Field
 from ..utils import tracing
 from ..ops import blake3_device as b3
 from ..ops import f128 as fd
+from ..ops import sha3_device as s3
 from ..ops.jax_ops import JaxOpsF128
 from . import Prover
 from .channel import ProverChannel
@@ -55,7 +56,13 @@ from .device import (
 
 jnp = fd.jnp
 
-_DEVICE_HASHERS = {Blake3_256: 8, Blake3_192: 6}  # hasher -> digest words
+# hasher -> (row-hash fn, merkle-levels fn, digest words); the two hash
+# modules share the words-in/words-out interface
+_DEVICE_HASHERS = {
+    Blake3_256: (b3.blake3_hash_words, b3.merkle_levels_blake3, 8),
+    Blake3_192: (b3.blake3_hash_words, b3.merkle_levels_blake3, 6),
+    Sha3_256: (s3.sha3_hash_words, s3.merkle_levels_sha3, 8),
+}
 
 
 def _f128_sum(arr, axis: int = 0):
@@ -138,7 +145,7 @@ def _boundary_divisor_inv(xs, a: int, b0: int):
 
 
 def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
-                     digest_words: int):
+                     digest_words: int, hash_fn=b3.blake3_hash_words):
     """Partitioned BLAKE3 row hashing over word-layout rows: chunks of
     psize_elems base elements (4 words each) hashed separately, chunk digests
     combined with merge_many — identical bytes to the host row hashing
@@ -146,14 +153,13 @@ def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
     W = words_2d.shape[1]
     pw = psize_elems * 4
     if pw >= W:
-        return b3.blake3_hash_words(words_2d, byte_len, digest_words)
+        return hash_fn(words_2d, byte_len, digest_words)
     digests = []
     for i in range(0, W, pw):
         chunk = words_2d[:, i : i + pw]
-        digests.append(b3.blake3_hash_words(chunk, 4 * chunk.shape[1],
-                                            digest_words))
+        digests.append(hash_fn(chunk, 4 * chunk.shape[1], digest_words))
     joined = jnp.concatenate(digests, axis=1)
-    return b3.blake3_hash_words(joined, 4 * joined.shape[1], digest_words)
+    return hash_fn(joined, 4 * joined.shape[1], digest_words)
 
 
 # above this LDE size run interpolate/LDE/hash as separate programs (frees
@@ -161,55 +167,62 @@ def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
 _FUSE_LIMIT = 1 << 22
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan, n: int,
-                           blowup: int, psize: int, digest_words: int):
+                           blowup: int, psize: int, digest_words: int,
+                           hash_fn=b3.blake3_hash_words):
     polys = fd.ntt_interpolate_body(matrix, inv_plan, n)
     lde = fd.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
     m = lde.shape[0]
     words = lde.astype(jnp.uint32).reshape(m, -1)
     byte_len = 4 * words.shape[1]
-    leaves = _hash_rows_words(words, byte_len, psize, digest_words)
+    leaves = _hash_rows_words(words, byte_len, psize, digest_words, hash_fn)
     return polys, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _hash_rows_split(words_2d, psize: int, digest_words: int):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _hash_rows_split(words_2d, psize: int, digest_words: int,
+                     hash_fn=b3.blake3_hash_words):
     return _hash_rows_words(words_2d, 4 * words_2d.shape[1], psize,
-                            digest_words)
+                            digest_words, hash_fn)
 
 
 _HASH_SLAB = 1 << 21
 
 
-def _hash_lde_rows(lde, psize: int, digest_words: int):
+def _hash_lde_rows(lde, psize: int, digest_words: int,
+                   hash_fn=b3.blake3_hash_words):
     m = lde.shape[0]
-    words = lde.astype(jnp.uint32).reshape(m, -1)
     if m <= _HASH_SLAB:
-        return _hash_rows_split(words, psize, digest_words)
-    parts = [_hash_rows_split(words[i : i + _HASH_SLAB], psize, digest_words)
-             for i in range(0, m, _HASH_SLAB)]
+        return _hash_rows_split(lde.astype(jnp.uint32).reshape(m, -1),
+                                psize, digest_words, hash_fn)
+    parts = [
+        _hash_rows_split(
+            lde[i : i + _HASH_SLAB].astype(jnp.uint32).reshape(_HASH_SLAB, -1),
+            psize, digest_words, hash_fn)
+        for i in range(0, m, _HASH_SLAB)]
     return jnp.concatenate(parts, axis=0)
 
 
 def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
-                     digest_words: int):
+                     digest_words: int, hash_fn=b3.blake3_hash_words):
     inv_plan = fd.ntt_plan(n, True)
     fwd_plan = fd.ntt_plan(n * blowup, False)
     off_pows = fd._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                                      n, blowup, psize, digest_words)
+                                      n, blowup, psize, digest_words, hash_fn)
     polys = fd.ntt_interpolate(matrix, n)
     lde = fd.ntt_evaluate_with_offset(polys, n, offset, blowup)
-    leaves = _hash_lde_rows(lde, psize, digest_words)
+    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn)
     return polys, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
                                 fwd_plan, ce: int, n: int, blowup: int,
-                                num_cols: int, psize: int, digest_words: int):
+                                num_cols: int, psize: int, digest_words: int,
+                                hash_fn=b3.blake3_hash_words):
     """iFFT the CE column, segment trace-length coefficient chunks
     (composition_poly.rs:55-85), LDE + hash — one program."""
     coeffs = fd.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
@@ -219,7 +232,8 @@ def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
     lde = fd.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup)
     m = lde.shape[0]
     words = lde.astype(jnp.uint32).reshape(m, -1)
-    leaves = _hash_rows_words(words, 4 * words.shape[1], psize, digest_words)
+    leaves = _hash_rows_words(words, 4 * words.shape[1], psize, digest_words,
+                              hash_fn)
     return comp_columns, lde, leaves
 
 
@@ -232,23 +246,25 @@ def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
 
 
 def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
-                          num_cols: int, psize: int, digest_words: int):
+                          num_cols: int, psize: int, digest_words: int,
+                          hash_fn=b3.blake3_hash_words):
     interp_pows = fd.interp_offset_powers(ce, offset)
     inv_plan = fd.ntt_plan(ce, True)
     if n * blowup < _FUSE_LIMIT:
         return _comp_commit_pipeline_fused(
             ce_column, interp_pows, inv_plan, fd._power_series_dev(offset, n),
             fd.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
-            digest_words)
+            digest_words, hash_fn)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n)
     lde = fd.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-    leaves = _hash_lde_rows(lde, psize, digest_words)
+    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn)
     return comp_columns, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _fri_layer_commit(evaluations, n_fold: int, digest_words: int):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _fri_layer_commit(evaluations, n_fold: int, digest_words: int,
+                      hash_fn=b3.blake3_hash_words):
     """Transpose a FRI layer into N-value rows, hash, ready for the Merkle
     reduce (fri/src/prover/mod.rs:202-222)."""
     n, d = evaluations.shape[0], evaluations.shape[1]
@@ -256,7 +272,7 @@ def _fri_layer_commit(evaluations, n_fold: int, digest_words: int):
     transposed = jnp.swapaxes(
         evaluations.reshape(n_fold, rows, d, 4), 0, 1)  # (rows, N, d, 4)
     words = transposed.astype(jnp.uint32).reshape(rows, -1)
-    leaves = b3.blake3_hash_words(words, 4 * words.shape[1], digest_words)
+    leaves = hash_fn(words, 4 * words.shape[1], digest_words)
     return transposed, leaves
 
 
@@ -278,8 +294,8 @@ class F128Prover(Prover):
         air = self.air_class(trace.info(), pub_inputs, self.options)
         assert air.base is F128, "F128Prover requires the f128 base field"
         assert self.hasher in _DEVICE_HASHERS, (
-            "F128Prover requires a BLAKE3 hasher (device row hashing)")
-        dw = _DEVICE_HASHERS[self.hasher]
+            "F128Prover requires a BLAKE3 or SHA3 hasher (device row hashing)")
+        hash_fn, self._levels_fn, dw = _DEVICE_HASHERS[self.hasher]
         channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
         phases = tracing.Phases("device_prove_f128")
 
@@ -296,7 +312,8 @@ class F128Prover(Prover):
         main_dev = fd.to_device(trace.main_segment())  # (n, w, 4)
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
-            main_dev, n, offset, blowup, part.partition_size(w, 1), dw)
+            main_dev, n, offset, blowup, part.partition_size(w, 1), dw,
+            hash_fn)
         main_tree = self._make_tree(leaves)
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
@@ -309,7 +326,7 @@ class F128Prover(Prover):
             w_aux = aux_dev.shape[1]
             aux_polys, aux_lde, leaves = _commit_pipeline(
                 aux_dev, n, offset, blowup,
-                part.partition_size(w_aux, d) * d, dw)
+                part.partition_size(w_aux, d) * d, dw, hash_fn)
             aux_tree = self._make_tree(leaves)
             channel.commit_trace(aux_tree.root)
 
@@ -324,7 +341,7 @@ class F128Prover(Prover):
         num_cols = air.context.num_constraint_composition_columns()
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
-            part.partition_size(num_cols, d) * d, dw)
+            part.partition_size(num_cols, d) * d, dw, hash_fn)
         comp_tree = self._make_tree(leaves)
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
@@ -368,7 +385,8 @@ class F128Prover(Prover):
         fri_layers = []
         evaluations = deep_evaluations
         for _ in range(fri_options.num_fri_layers(lde_size)):
-            transposed, leaves = _fri_layer_commit(evaluations, n_fold, dw)
+            transposed, leaves = _fri_layer_commit(evaluations, n_fold, dw,
+                                                   hash_fn)
             tree = self._make_tree(leaves)
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
@@ -426,8 +444,7 @@ class F128Prover(Prover):
     # ------------------------------------------------------------------
 
     def _make_tree(self, leaves) -> PrehashedMerkleTree:
-        levels = {lvl.shape[0]: lvl
-                  for lvl in b3.merkle_levels_blake3(leaves)}
+        levels = {lvl.shape[0]: lvl for lvl in self._levels_fn(leaves)}
         return PrehashedMerkleTree(
             _DigestView(leaves),
             _HeapNodesView(levels, leaves.shape[0]),
