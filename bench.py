@@ -143,7 +143,8 @@ def bench_rescue_f128(log2_len: int):
 
 
 def main() -> None:
-    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "18"))
+    # default = the flagship BASELINE.json metric (2^22-step f64 trace)
+    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "22"))
     workload = os.environ.get("BENCH_WORKLOAD", "fib")
 
     # first compile over the remote-compile tunnel is slow (30-120 s per

@@ -99,3 +99,34 @@ def test_fib_device_sha3_matches_host():
     dev = F128FibProver(options, Sha3_256).prove(build_fib_trace(F128, 128))
     assert dev.to_bytes() == host.to_bytes()
     verify(FibAir, dev, compute_fib_term(F128, 128), Sha3_256)
+
+
+def test_lamport_aggregate_device_matches_host():
+    """The heavyweight width-22 AIR (sequence assertions, periodic columns —
+    examples/src/lamport/aggregate/mod.rs) on the device path."""
+    from winterfell_tpu.examples.lamport import (
+        LamportAggregateAir,
+        LamportAggregateProver,
+        LamportPublicInputs,
+        PrivateKey,
+        build_lamport_trace,
+        message_to_elements,
+    )
+
+    keys = [PrivateKey(i) for i in range(2)]
+    messages = [message_to_elements(f"test message {i}".encode())
+                for i in range(2)]
+    signatures = [k.sign(f"test message {i}".encode())
+                  for i, k in enumerate(keys)]
+    pub_keys = [k.pub_key() for k in keys]
+    options = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
+
+    host = LamportAggregateProver(options, Blake3_256, pub_keys,
+                                  messages).prove(
+        build_lamport_trace(messages, signatures))
+    DevProver = F128Prover.accelerate(LamportAggregateProver)
+    dev = DevProver(options, Blake3_256, pub_keys, messages).prove(
+        build_lamport_trace(messages, signatures))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(LamportAggregateAir, dev,
+           LamportPublicInputs(tuple(pub_keys), tuple(messages)), Blake3_256)

@@ -127,3 +127,17 @@ def test_batch_inversion():
             assert iv == 0
         else:
             assert v * iv % F64.p == 1
+
+
+def test_infer_degree():
+    """fft/mod.rs:518-542 doc example semantics: evaluations of x^2 + 1."""
+    from winterfell_tpu.math.ntt import evaluate_poly, evaluate_poly_with_offset, infer_degree
+
+    p = F64.p
+    coeffs = np.array([[1], [0], [1], [0]], dtype=object)  # 1 + x^2
+    evals = evaluate_poly(F64, coeffs)
+    assert infer_degree(F64, evals) == 2
+    evals_coset = evaluate_poly_with_offset(F64, coeffs, F64.generator, 2)
+    assert infer_degree(F64, evals_coset, F64.generator) == 2
+    zero = np.zeros((8, 1), dtype=object)
+    assert infer_degree(F64, zero) == 0

@@ -123,3 +123,20 @@ def interpolate_poly_with_offset(base: BaseField, evals: np.ndarray,
     coeffs = interpolate_poly(base, evals)
     inv_offset = pow(offset % base.p, base.p - 2, base.p)
     return _scale_by_powers(base, coeffs, inv_offset)
+
+
+def infer_degree(base: BaseField, evals: np.ndarray, offset: int = 1) -> int:
+    """Degree of the polynomial underlying evaluations over the (coset of
+    the) size-n multiplicative subgroup (fft/mod.rs:543-562): interpolate,
+    then index of the highest non-zero coefficient."""
+    n = evals.shape[0]
+    assert n & (n - 1) == 0, "number of evaluations must be a power of 2"
+    assert n.bit_length() - 1 <= base.two_adicity, (
+        f"multiplicative subgroup of size {n} does not exist in {base.name}")
+    assert offset % base.p != 0, "domain offset cannot be zero"
+    coeffs = (interpolate_poly(base, evals) if offset % base.p == 1
+              else interpolate_poly_with_offset(base, evals, offset))
+    for i in range(n - 1, -1, -1):
+        if any(int(x) != 0 for x in np.atleast_1d(coeffs[i])):
+            return i
+    return 0

@@ -1,27 +1,27 @@
-"""f128 field arithmetic and NTT on JAX/XLA — the TPU engine for the
-reference's default base field (math/src/field/f128/mod.rs: p = 2^128 −
-45·2^40 + 1, TWO_ADICITY = 40, GENERATOR = 3, quad extension x² − x − 1,
-cubic unsupported).
+"""f62 field arithmetic and NTT on JAX/XLA — the TPU engine for the
+reference's 62-bit field (math/src/field/f62/mod.rs: p = 2^62 − 111·2^39 + 1,
+TWO_ADICITY = 39, GENERATOR = 3, quad extension x² − x − 1, cubic extension
+x³ + 2x + 2).
 
-Design (TPU-first):
+Design (TPU-first, the same shape as the f128 engine in ops/f128.py):
 
-- Elements are uint64 arrays with a trailing LIMB axis of 4, each limb
-  holding a 32-bit little-endian digit. The TPU has no 64-bit (let alone
-  128-bit) integer units; 32-bit limbs in u64 lanes make every partial
-  product exact (u32×u32 → u64) on the VPU with no emulation surprises.
-- Multiplication is 4×4 schoolbook into 8 columns of 32-bit half-products
-  (column sums < 2^35, no overflow), one carry sweep, then reduction via
-  2^128 ≡ 45·2^40 − 1 =: φ (mod p): two φ-folds and a conditional subtract.
-  This replaces the reference's u256 Barrett reduction
-  (math/src/field/f128/mod.rs:429) with the same canonical result.
-- The NTT mirrors winterfell_tpu.ops.goldilocks: unrolled radix-2 DIT with
-  constant per-stage twiddles below _SMALL_NTT, a six-step a×b split above
-  it, and every domain-sized constant (offset power series, middle twiddle
-  matrices) built ON DEVICE by log-doubling and passed into jitted programs
-  as runtime arguments — never embedded in executables.
+- Elements are uint64 arrays with a trailing LIMB axis of 2, each limb a
+  32-bit little-endian digit (the TPU has no 64-bit integer units; 32-bit
+  limbs make every partial product exact u32×u32 → u64 on the VPU).
+- Multiplication is a 2×2 schoolbook into 4 columns of 32-bit half-products,
+  one carry sweep, then reduction by repeated folding with
+  2^62 ≡ 111·2^39 − 1 =: E (mod p): h·E = (h·111) << 39 − h, so each fold
+  costs one small-constant multiply, a bit-shift and a subtract. Four folds
+  take the 124-bit product below 2p; one conditional subtract canonicalizes.
+  The reference instead keeps f62 in Montgomery form (f62/mod.rs mont_red);
+  we stay canonical — Montgomery's R-factors never reach proof bytes, and
+  canonical limbs serialize straight into the BLAKE3/SHA3 word hashers.
+- The NTT / power-series / FRI-fold layers mirror ops/f128.py exactly
+  (radix-2 DIT below _SMALL_NTT, six-step above, all domain-sized constants
+  device-built and passed as runtime arguments — never embedded).
 
-The exact oracle is winterfell_tpu.math (object-dtype Python ints); every
-public op here is pinned against it in tests/test_f128_jax.py.
+The exact oracle is winterfell_tpu.math (object-dtype Python ints); public
+ops are pinned against it in tests/test_f62_jax.py.
 """
 
 from __future__ import annotations
@@ -36,16 +36,16 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 
-from ..math.fields import F128
+from ..math.fields import F62
 
-P = F128.p
-PHI = (45 << 40) - 1  # 2^128 mod p
+P = F62.p
+E = (111 << 39) - 1  # 2^62 mod p
 _MASK32 = jnp.uint64(0xFFFFFFFF)
+_MASK30 = jnp.uint64(0x3FFFFFFF)
 _P_LIMBS_NP = np.array(
-    [(P >> (32 * k)) & 0xFFFFFFFF for k in range(4)], dtype=np.uint64)
-_PHI_LIMBS = ((PHI & 0xFFFFFFFF), (PHI >> 32))  # f1 = 0x2CFF (14 bits)
+    [(P >> (32 * k)) & 0xFFFFFFFF for k in range(2)], dtype=np.uint64)
 
-NUM_LIMBS = 4
+NUM_LIMBS = 2
 
 
 # ================================================================================
@@ -54,14 +54,14 @@ NUM_LIMBS = 4
 
 
 def to_limbs_np(arr_obj: np.ndarray) -> np.ndarray:
-    """Object array of ints -> uint64 limb array with trailing axis 4."""
+    """Object array of ints -> uint64 limb array with trailing axis 2."""
     out = np.empty(arr_obj.shape + (NUM_LIMBS,), dtype=np.uint64)
     flat_in = arr_obj.reshape(-1)
     flat_out = out.reshape(-1, NUM_LIMBS)
     for i, v in enumerate(flat_in):
         v = int(v)
-        for k in range(NUM_LIMBS):
-            flat_out[i, k] = (v >> (32 * k)) & 0xFFFFFFFF
+        flat_out[i, 0] = v & 0xFFFFFFFF
+        flat_out[i, 1] = (v >> 32) & 0xFFFFFFFF
     return out
 
 
@@ -70,7 +70,7 @@ def to_device(arr_obj: np.ndarray):
 
 
 def from_limbs_np(limbs: np.ndarray) -> np.ndarray:
-    """uint64 limb array (..., 4) -> object array of Python ints."""
+    """uint64 limb array (..., 2) -> object array of Python ints."""
     limbs = np.asarray(limbs)
     out = np.zeros(limbs.shape[:-1], dtype=object)
     for k in range(NUM_LIMBS):
@@ -84,22 +84,20 @@ def to_host(arr) -> np.ndarray:
 
 def _int_to_limbs(v: int) -> np.ndarray:
     v = int(v) % P
-    return np.array([(v >> (32 * k)) & 0xFFFFFFFF for k in range(4)],
-                    dtype=np.uint64)
+    return np.array([v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF], dtype=np.uint64)
 
 
 def scalar(v: int):
-    """Device (4,) limb vector for a host int."""
+    """Device (2,) limb vector for a host int."""
     return jnp.asarray(_int_to_limbs(v))
 
 
 # ================================================================================
-# Limb-vector arithmetic (trailing axis = limbs, values < 2^32 in u64 lanes)
+# Base arithmetic (trailing axis = 2 limbs, values < 2^32 in u64 lanes)
 # ================================================================================
 
 
 def _carry_sweep(cols):
-    """List of k column sums (< 2^63 each) -> k 32-bit limbs + final carry."""
     out = []
     carry = jnp.zeros_like(cols[0])
     for c in cols:
@@ -107,14 +105,6 @@ def _carry_sweep(cols):
         out.append(t & _MASK32)
         carry = t >> jnp.uint64(32)
     return out, carry
-
-
-def _add_raw(a, b):
-    """Limbwise add of equal-length limb arrays -> (limbs, carry_out)."""
-    n = a.shape[-1]
-    cols = [a[..., k] + b[..., k] for k in range(n)]
-    out, carry = _carry_sweep(cols)
-    return jnp.stack(out, axis=-1), carry
 
 
 def _sub_raw(a, b):
@@ -125,112 +115,101 @@ def _sub_raw(a, b):
     for k in range(n):
         t = a[..., k] - b[..., k] - borrow
         out.append(t & _MASK32)
-        borrow = t >> jnp.uint64(63)  # negative iff top bit set
+        borrow = t >> jnp.uint64(63)
     return jnp.stack(out, axis=-1), borrow
 
 
 def _p_like(a):
-    return jnp.asarray(_P_LIMBS_NP).reshape((1,) * (a.ndim - 1) + (4,))
+    return jnp.asarray(_P_LIMBS_NP).reshape((1,) * (a.ndim - 1) + (2,))
 
 
 def _cond_sub_p(a):
-    """a < 2^128: subtract p once if a ≥ p."""
+    """a < 2p: subtract p once if a ≥ p."""
     diff, borrow = _sub_raw(a, _p_like(a))
     return jnp.where((borrow == 0)[..., None], diff, a)
 
 
-def f128_add(a, b):
-    s, carry = _add_raw(a, b)
-    # carry out of 4 limbs means value = 2^128 + s ≡ s + φ (φ < 2^46, s tiny)
-    phi = jnp.asarray(_int_to_limbs(PHI)).reshape((1,) * (s.ndim - 1) + (4,))
-    s_wrap, _ = _add_raw(s, phi)
-    s = jnp.where((carry != 0)[..., None], s_wrap, s)
+def base_add(a, b):
+    # a + b < 2^63: limb sums never carry out of limb 1 (both < 2^30)
+    s0 = a[..., 0] + b[..., 0]
+    s1 = a[..., 1] + b[..., 1] + (s0 >> jnp.uint64(32))
+    s = jnp.stack([s0 & _MASK32, s1], axis=-1)
     return _cond_sub_p(s)
 
 
-def f128_sub(a, b):
+def base_sub(a, b):
     d, borrow = _sub_raw(a, b)
-    d_wrap, _ = _add_raw(d, _p_like(d))
+    d_wrap0 = d[..., 0] + _P_LIMBS_NP[0]
+    d_wrap1 = d[..., 1] + jnp.uint64(int(_P_LIMBS_NP[1])) + (
+        d_wrap0 >> jnp.uint64(32))
+    d_wrap = jnp.stack([d_wrap0 & _MASK32, d_wrap1 & _MASK32], axis=-1)
     return jnp.where((borrow != 0)[..., None], d_wrap, d)
 
 
-def f128_neg(a):
+def base_neg(a):
     z = jnp.zeros_like(a)
     return jnp.where(
         jnp.all(a == 0, axis=-1, keepdims=True), z, _sub_raw(_p_like(a), a)[0])
 
 
-def _mul_limbs_4x4(a, b):
-    """Full 256-bit product: (..., 4) × (..., 4) -> list of 8 column sums
-    BEFORE the carry sweep (each < 2^35)."""
-    ah = [a[..., i] for i in range(4)]
-    bh = [b[..., j] for j in range(4)]
-    cols = [None] * 8
-    for i in range(4):
-        for j in range(4):
-            pij = ah[i] * bh[j]
-            lo = pij & _MASK32
-            hi = pij >> jnp.uint64(32)
-            k = i + j
-            cols[k] = lo if cols[k] is None else cols[k] + lo
-            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
-    return cols
-
-
-def _mul_phi(h):
-    """h (..., k limbs) × φ (2 limbs) -> (..., k+2) limbs, exact."""
-    k = h.shape[-1]
-    f0 = jnp.uint64(_PHI_LIMBS[0])
-    f1 = jnp.uint64(_PHI_LIMBS[1])
-    cols = [None] * (k + 2)
-    for i in range(k):
-        hi_limb = h[..., i]
-        for j, f in ((0, f0), (1, f1)):
-            pij = hi_limb * f
-            lo = pij & _MASK32
-            hi = pij >> jnp.uint64(32)
-            cols[i + j] = lo if cols[i + j] is None else cols[i + j] + lo
-            cols[i + j + 1] = (hi if cols[i + j + 1] is None
-                               else cols[i + j + 1] + hi)
-    out, carry = _carry_sweep([c if c is not None else jnp.zeros_like(h[..., 0])
-                               for c in cols])
-    # k+2 limbs always suffice: h < 2^(32k), φ < 2^46 -> product < 2^(32k+46)
+def _fold62(x5):
+    """One reduction fold at a fixed 5-limb working width:
+    x ≡ (x >> 62)·E + (x mod 2^62), with h·E = (h·111) << 39 − h."""
+    xs = [x5[..., k] for k in range(5)]
+    lo0, lo1 = xs[0], xs[1] & _MASK30
+    # h = x >> 62 (4 limbs suffice: x < 2^124 → h < 2^62)
+    h = []
+    for j in range(4):
+        cur = xs[j + 1] >> jnp.uint64(30)
+        nxt = (xs[j + 2] << jnp.uint64(2)) & _MASK32 if j + 2 < 5 else None
+        h.append(cur | nxt if nxt is not None else cur)
+    # y = h·111 (5 limbs; per-limb products < 2^39, no overflow)
+    c111 = jnp.uint64(111)
+    ycols = [h[0] * c111]
+    for j in range(1, 4):
+        ycols.append(h[j] * c111)
+    ycols.append(jnp.zeros_like(h[0]))
+    y, _ = _carry_sweep(ycols)
+    # z = y << 39 = (y << 32) << 7, then h·E = z − h, then + lo
+    zcols = [jnp.zeros_like(y[0])]
+    prev = jnp.zeros_like(y[0])
+    for j in range(4):
+        zcols.append(((y[j] << jnp.uint64(7)) | (prev >> jnp.uint64(25)))
+                     & _MASK32)
+        prev = y[j]
+    z = jnp.stack(zcols, axis=-1)
+    h_pad = jnp.stack(h + [jnp.zeros_like(h[0])], axis=-1)
+    t, _ = _sub_raw(z, h_pad)  # exact: z = h·(E+1) ≥ h
+    cols = [t[..., 0] + lo0, t[..., 1] + lo1] + [t[..., k] for k in range(2, 5)]
+    out, _ = _carry_sweep(cols)
     return jnp.stack(out, axis=-1)
 
 
-def _fold_256(cols8):
-    """Column sums of a 256-bit product -> canonical 4-limb element."""
-    limbs, _ = _carry_sweep(cols8)
-    r = jnp.stack(limbs, axis=-1)  # (..., 8)
-    lo, hi = r[..., :4], r[..., 4:]
-
-    # fold 1: value = hi·2^128 + lo ≡ hi·φ + lo   (≤ 2^175)
-    t = _mul_phi(hi)  # (..., 6)
-    pad = jnp.zeros(t.shape[:-1] + (2,), dtype=jnp.uint64)
-    t, carry = _add_raw(t, jnp.concatenate([lo, pad], axis=-1))
-    # carry == 0: t < 2^175 + 2^128 < 2^176 ≤ 6 limbs
-
-    # fold 2: t = h2·2^128 + l2, h2 < 2^47
-    t2 = _mul_phi(t[..., 4:6])  # (..., 4); h2·φ < 2^93
-    t2, carry = _add_raw(t2, t[..., :4])
-    # carry ∈ {0,1}: wrapped value < 2^93, so adding φ cannot carry again
-    phi = jnp.asarray(_int_to_limbs(PHI)).reshape(
-        (1,) * (t2.ndim - 1) + (4,))
-    t2_wrap, _ = _add_raw(t2, phi)
-    t2 = jnp.where((carry != 0)[..., None], t2_wrap, t2)
-    return _cond_sub_p(t2)
+def base_mul(a, b):
+    """Canonical (a·b) mod p via 2×2 schoolbook + four E-folds."""
+    a0, a1 = a[..., 0], a[..., 1]
+    b0, b1 = b[..., 0], b[..., 1]
+    p00, p01 = a0 * b0, a0 * b1
+    p10, p11 = a1 * b0, a1 * b1
+    cols = [
+        p00 & _MASK32,
+        (p00 >> jnp.uint64(32)) + (p01 & _MASK32) + (p10 & _MASK32),
+        (p01 >> jnp.uint64(32)) + (p10 >> jnp.uint64(32)) + (p11 & _MASK32),
+        p11 >> jnp.uint64(32),
+    ]
+    x, _ = _carry_sweep(cols)
+    x5 = jnp.stack(x + [jnp.zeros_like(x[0])], axis=-1)
+    # bit-width trajectory: 124 → 109 → 93 → 77 → 62.5; then < 2p
+    for _ in range(4):
+        x5 = _fold62(x5)
+    return _cond_sub_p(x5[..., :2])
 
 
-def f128_mul(a, b):
-    return _fold_256(_mul_limbs_4x4(a, b))
-
-
-def f128_mul_base(a, s):
-    """Element array × base scalars with broadcast over the element axes:
-    s has the same shape as a minus one non-limb axis."""
+def base_mul_base(a, s):
+    """Element array × base scalars with broadcast over the element axes."""
     if s.ndim == a.ndim - 1:
         s = s[..., None, :]
-    return f128_mul(a, jnp.broadcast_to(s, a.shape))
+    return base_mul(a, jnp.broadcast_to(s, a.shape))
 
 
 def _squares(a, k: int):
@@ -238,17 +217,17 @@ def _squares(a, k: int):
         return a
     if k <= 2:
         for _ in range(k):
-            a = f128_mul(a, a)
+            a = base_mul(a, a)
         return a
-    return jax.lax.fori_loop(0, k, lambda _, v: f128_mul(v, v), a)
+    return jax.lax.fori_loop(0, k, lambda _, v: base_mul(v, v), a)
 
 
-def f128_pow_const(a, e: int):
-    """a ** e for a python-int exponent (square-and-multiply, squaring runs
-    as fori_loops so traced programs stay O(log e) with small bodies)."""
+def base_pow_const(a, e: int):
+    """a ** e for a python-int exponent (square-and-multiply with fori_loop
+    squaring runs — traced programs stay O(log e) with small bodies)."""
     if e == 0:
         return jnp.broadcast_to(
-            jnp.asarray(_int_to_limbs(1)).reshape((1,) * (a.ndim - 1) + (4,)),
+            jnp.asarray(_int_to_limbs(1)).reshape((1,) * (a.ndim - 1) + (2,)),
             a.shape)
     bits = bin(e)[2:]
     result = a
@@ -256,91 +235,118 @@ def f128_pow_const(a, e: int):
     for bit in bits[1:]:
         run += 1
         if bit == "1":
-            result = f128_mul(_squares(result, run), a)
+            result = base_mul(_squares(result, run), a)
             run = 0
     if run:
         result = _squares(result, run)
     return result
 
 
-_P_MINUS_2_BITS = np.array([((P - 2) >> i) & 1 for i in range(127, -1, -1)],
+_P_MINUS_2_BITS = np.array([((P - 2) >> i) & 1 for i in range(61, -1, -1)],
                            dtype=np.uint64)
 
 
-def f128_inv(a):
+def base_inv(a):
     """a^(p−2) by left-to-right square-and-multiply; inv(0) = 0 by Fermat."""
     bits = jnp.asarray(_P_MINUS_2_BITS)
     one = jnp.broadcast_to(
-        jnp.asarray(_int_to_limbs(1)).reshape((1,) * (a.ndim - 1) + (4,)),
+        jnp.asarray(_int_to_limbs(1)).reshape((1,) * (a.ndim - 1) + (2,)),
         a.shape)
 
     def body(i, acc):
-        acc = f128_mul(acc, acc)
-        return jnp.where(bits[i] == 1, f128_mul(acc, a), acc)
+        acc = base_mul(acc, acc)
+        return jnp.where(bits[i] == 1, base_mul(acc, a), acc)
 
-    return jax.lax.fori_loop(0, 128, body, one)
+    return jax.lax.fori_loop(0, 62, body, one)
 
 
 # ================================================================================
-# Quadratic extension: arrays (..., d, 4), d in {1, 2}; x² = x + 1
-# (math/src/field/f128/mod.rs:264-287)
+# Extensions: arrays (..., d, 2), d in {1, 2, 3}
+# quad x² = x + 1 (f62/mod.rs QuadExtension), cubic x³ = −2 − 2x (CubeExtension)
 # ================================================================================
 
 
 def ext_add(a, b):
-    return f128_add(a, b)
+    return base_add(a, b)
 
 
 def ext_sub(a, b):
-    return f128_sub(a, b)
+    return base_sub(a, b)
 
 
 def ext_mul(a, b):
     d = a.shape[-2]
     if d == 1:
-        return f128_mul(a, b)
-    a0, a1 = a[..., 0, :], a[..., 1, :]
-    b0, b1 = b[..., 0, :], b[..., 1, :]
-    t2 = f128_mul(a1, b1)
-    c0 = f128_add(f128_mul(a0, b0), t2)
-    c1 = f128_add(f128_add(f128_mul(a0, b1), f128_mul(a1, b0)), t2)
-    return jnp.stack([c0, c1], axis=-2)
+        return base_mul(a, b)
+    if d == 2:
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        t2 = base_mul(a1, b1)
+        c0 = base_add(base_mul(a0, b0), t2)
+        c1 = base_add(base_add(base_mul(a0, b1), base_mul(a1, b0)), t2)
+        return jnp.stack([c0, c1], axis=-2)
+    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    t0 = base_mul(a0, b0)
+    t1 = base_add(base_mul(a0, b1), base_mul(a1, b0))
+    t2 = base_add(base_add(base_mul(a0, b2), base_mul(a1, b1)),
+                  base_mul(a2, b0))
+    t3 = base_add(base_mul(a1, b2), base_mul(a2, b1))
+    t4 = base_mul(a2, b2)
+    # x³ = −2 − 2x, x⁴ = −2x − 2x²
+    c0 = base_sub(t0, base_add(t3, t3))
+    c1 = base_sub(t1, base_add(base_add(t3, t3), base_add(t4, t4)))
+    c2 = base_sub(t2, base_add(t4, t4))
+    return jnp.stack([c0, c1, c2], axis=-2)
+
+
+@lru_cache(maxsize=None)
+def _frobenius_consts(d: int) -> np.ndarray:
+    """(d, d, 2) limb matrix F with frob(a)_j = Σ_i a_i · F[i, j]."""
+    from ..math.fields import Field
+
+    field = Field(F62, d)
+    images = field._frobenius_images()
+    out = np.zeros((d, d), dtype=object)
+    for i in range(d):
+        for j in range(d):
+            out[i, j] = images[i][j]
+    return to_limbs_np(out)
 
 
 def ext_frobenius(a):
-    """a^p for quad elements via the host-precomputed basis images."""
-    from ..math.fields import Field
-
     d = a.shape[-2]
     if d == 1:
         return a
-    images = Field(F128, 2)._frobenius_images()
-    img = to_limbs_np(np.array([list(images[1])], dtype=object))[0]  # (2, 4)
-    img_dev = jnp.asarray(img)
-    a0, a1 = a[..., 0, :], a[..., 1, :]
-    x0 = f128_mul(a1, jnp.broadcast_to(img_dev[0], a1.shape))
-    x1 = f128_mul(a1, jnp.broadcast_to(img_dev[1], a1.shape))
-    c0 = f128_add(a0, x0)
-    return jnp.stack([c0, x1], axis=-2)
+    fr = jnp.asarray(_frobenius_consts(d))  # (d, d, 2)
+    acc = None
+    for i in range(d):
+        term = base_mul(
+            jnp.broadcast_to(a[..., i : i + 1, :], a.shape[:-2] + (d, 2)),
+            jnp.broadcast_to(fr[i], a.shape[:-2] + (d, 2)))
+        acc = term if acc is None else base_add(acc, term)
+    return acc
 
 
 def ext_inv(a):
     d = a.shape[-2]
     if d == 1:
-        return f128_inv(a)
+        return base_inv(a)
     conj = ext_frobenius(a)
+    if d == 3:
+        conj = ext_mul(conj, ext_frobenius(conj))
     norm = ext_mul(a, conj)[..., 0, :]  # lands in the base field
-    ninv = f128_inv(norm)
-    return f128_mul(conj, ninv[..., None, :])
+    ninv = base_inv(norm)
+    return base_mul(conj, ninv[..., None, :])
 
 
 def ext_mul_base(a, s):
-    """(..., d, 4) ext × (...,) base scalar limb array (..., 4)."""
-    return f128_mul(a, s[..., None, :])
+    """(..., d, 2) ext × base scalar limb array (..., 2)."""
+    return base_mul(a, s[..., None, :])
 
 
 # ================================================================================
-# Device-built power series and six-step middle twiddles
+# Device-built power series and six-step middle twiddles (ops/f128.py mirror)
 # ================================================================================
 
 
@@ -351,7 +357,7 @@ def _build_powers_jit(jumps, scale, n: int):
     cur = scale[None, :]
     m, j = 1, 0
     while m < cap:
-        nxt = f128_mul(cur, jnp.broadcast_to(jumps[j], cur.shape))
+        nxt = base_mul(cur, jnp.broadcast_to(jumps[j], cur.shape))
         cur = jnp.concatenate([cur, nxt])
         m *= 2
         j += 1
@@ -360,10 +366,10 @@ def _build_powers_jit(jumps, scale, n: int):
 
 @lru_cache(maxsize=None)
 def _power_series_dev(s: int, n: int, scale: int = 1):
-    """Device-resident (n, 4) power series [scale·s^k]; O(log n) scalars
+    """Device-resident (n, 2) power series [scale·s^k]; O(log n) scalars
     cross the host↔device link."""
     logn = max((n - 1).bit_length(), 1)
-    jumps = np.empty((logn, 4), dtype=np.uint64)
+    jumps = np.empty((logn, 2), dtype=np.uint64)
     acc = s % P
     for j in range(logn):
         jumps[j] = _int_to_limbs(acc)
@@ -375,15 +381,13 @@ def _power_series_dev(s: int, n: int, scale: int = 1):
 
 @partial(jax.jit, static_argnums=(1,))
 def _build_mid_tw_jit(ratio_rows, b: int):
-    """(b, a, 4) middle twiddle matrix by row-doubling from stacked ratio
-    rows ratio_rows[r] = [(w^(2^r))^j1 for j1 < a]."""
     a = ratio_rows.shape[1]
-    one = np.zeros((1, a, 4), dtype=np.uint64)
+    one = np.zeros((1, a, 2), dtype=np.uint64)
     one[0, :, 0] = 1
     tw = jnp.asarray(one)
     m, r = 1, 0
     while m < b:
-        nxt = f128_mul(tw, jnp.broadcast_to(ratio_rows[r][None], tw.shape))
+        nxt = base_mul(tw, jnp.broadcast_to(ratio_rows[r][None], tw.shape))
         tw = jnp.concatenate([tw, nxt], axis=0)
         m *= 2
         r += 1
@@ -393,7 +397,7 @@ def _build_mid_tw_jit(ratio_rows, b: int):
 @lru_cache(maxsize=None)
 def _mid_twiddles_dev(n: int, a: int, inverse: bool):
     b = n // a
-    root = F128.get_root_of_unity(n.bit_length() - 1)
+    root = F62.get_root_of_unity(n.bit_length() - 1)
     if inverse:
         root = pow(root, P - 2, P)
     rows = []
@@ -438,7 +442,7 @@ def ntt_plan(n: int, inverse: bool):
 
 @lru_cache(maxsize=None)
 def _stage_twiddles_small(n: int, inverse: bool):
-    root = F128.get_root_of_unity(n.bit_length() - 1)
+    root = F62.get_root_of_unity(n.bit_length() - 1)
     if inverse:
         root = pow(root, P - 2, P)
     stages = []
@@ -457,24 +461,24 @@ def _stage_twiddles_small(n: int, inverse: bool):
 
 
 def _ntt_small(x, n: int, inverse: bool):
-    """Unrolled radix-2 DIT with constant per-stage twiddles. x: (n, ..., 4)."""
+    """Unrolled radix-2 DIT with constant per-stage twiddles. x: (n, ..., 2)."""
     rest = x.shape[1:-1]
     x = x[jnp.asarray(_bitrev_perm(n))]
     for tw_np in _stage_twiddles_small(n, inverse):
         half = tw_np.shape[0]
         mm = 2 * half
-        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest) + (4,))
-        blk = x.reshape((n // mm, 2, half) + rest + (4,))
+        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest) + (2,))
+        blk = x.reshape((n // mm, 2, half) + rest + (2,))
         u = blk[:, 0]
-        v = f128_mul(blk[:, 1], jnp.broadcast_to(tw, blk[:, 1].shape))
-        x = jnp.concatenate([f128_add(u, v), f128_sub(u, v)], axis=1)
-        x = x.reshape((n,) + rest + (4,))
+        v = base_mul(blk[:, 1], jnp.broadcast_to(tw, blk[:, 1].shape))
+        x = jnp.concatenate([base_add(u, v), base_sub(u, v)], axis=1)
+        x = x.reshape((n,) + rest + (2,))
     return x
 
 
 def _ntt_core(x, n: int, inverse: bool, plan):
-    """x: (n, ..., 4) -> NTT/iNTT without the 1/n scale (six-step above
-    _SMALL_NTT — the same distributed-NTT structure as ops.goldilocks)."""
+    """x: (n, ..., 2) -> NTT/iNTT without the 1/n scale (six-step above
+    _SMALL_NTT)."""
     if n == 1:
         return x
     if n <= _SMALL_NTT:
@@ -484,14 +488,14 @@ def _ntt_core(x, n: int, inverse: bool, plan):
     rest = x.shape[1:-1]
     b, a = mid_tw.shape[0], mid_tw.shape[1]
 
-    m = x.reshape((b, a) + rest + (4,))
+    m = x.reshape((b, a) + rest + (2,))
     y = _ntt_core(m, b, inverse, inner_plan)
-    tw = mid_tw.reshape((b, a) + (1,) * len(rest) + (4,))
-    y = f128_mul(y, jnp.broadcast_to(tw, y.shape))
+    tw = mid_tw.reshape((b, a) + (1,) * len(rest) + (2,))
+    y = base_mul(y, jnp.broadcast_to(tw, y.shape))
 
     z = jnp.swapaxes(y, 0, 1)
     out = _ntt_core(z, a, inverse, outer_plan)
-    return out.reshape((n,) + rest + (4,))
+    return out.reshape((n,) + rest + (2,))
 
 
 # ---- traceable bodies + public jitted wrappers --------------------------------
@@ -504,7 +508,7 @@ def ntt_evaluate_body(coeffs, plan, n: int):
 def ntt_interpolate_body(evals, plan, n: int):
     coeffs = _ntt_core(evals, n, inverse=True, plan=plan)
     inv_n = jnp.asarray(_int_to_limbs(pow(n, P - 2, P)))
-    return f128_mul(coeffs, jnp.broadcast_to(inv_n, coeffs.shape))
+    return base_mul(coeffs, jnp.broadcast_to(inv_n, coeffs.shape))
 
 
 def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int):
@@ -512,8 +516,8 @@ def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int):
     big NTT (value-identical to math.ntt.evaluate_poly_with_offset)."""
     big_n = n * blowup
     rest = coeffs.shape[1:-1]
-    pows = off_pows.reshape((n,) + (1,) * len(rest) + (4,))
-    scaled = f128_mul(coeffs, jnp.broadcast_to(pows, coeffs.shape))
+    pows = off_pows.reshape((n,) + (1,) * len(rest) + (2,))
+    scaled = base_mul(coeffs, jnp.broadcast_to(pows, coeffs.shape))
     padded = jnp.concatenate(
         [scaled,
          jnp.zeros((big_n - n,) + coeffs.shape[1:], dtype=jnp.uint64)], axis=0)
@@ -523,8 +527,8 @@ def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int):
 def ntt_interp_offset_body(evals, inv_off_pows, plan, n: int):
     coeffs = _ntt_core(evals, n, inverse=True, plan=plan)
     rest = coeffs.shape[1:-1]
-    pows = inv_off_pows.reshape((n,) + (1,) * len(rest) + (4,))
-    return f128_mul(coeffs, jnp.broadcast_to(pows, coeffs.shape))
+    pows = inv_off_pows.reshape((n,) + (1,) * len(rest) + (2,))
+    return base_mul(coeffs, jnp.broadcast_to(pows, coeffs.shape))
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -561,7 +565,7 @@ def _ntt_interp_offset_jit(evals, inv_off_pows, plan, n: int):
 
 
 def interp_offset_powers(n: int, offset: int):
-    """(n, 4) device series (1/n)·offset^-k."""
+    """(n, 2) device series (1/n)·offset^-k."""
     inv_offset = pow(offset % P, P - 2, P)
     inv_n = pow(n, P - 2, P)
     return _power_series_dev(inv_offset, n, inv_n)
@@ -573,25 +577,25 @@ def ntt_interpolate_with_offset(evals, n: int, offset: int):
 
 
 # ================================================================================
-# FRI folding (apply_drp — fri/src/folding/mod.rs:86-118, f128 device version)
+# FRI folding (apply_drp — fri/src/folding/mod.rs:86-118, f62 device version)
 # ================================================================================
 
 
 def fri_fold_body(evaluations, inv_off_pows, alpha, n_fold: int):
-    """evaluations (n, d, 4), alpha (d, 4) → folded (n/N, d, 4)."""
+    """evaluations (n, d, 2), alpha (d, 2) → folded (n/N, d, 2)."""
     n, d = evaluations.shape[0], evaluations.shape[1]
     rows = n // n_fold
-    transposed = evaluations.reshape(n_fold, rows, d, 4)
+    transposed = evaluations.reshape(n_fold, rows, d, 2)
 
     coeffs = _ntt_core(transposed, n_fold, inverse=True, plan=None)
     inv_nf = jnp.asarray(_int_to_limbs(pow(n_fold, P - 2, P)))
-    coeffs = f128_mul(coeffs, jnp.broadcast_to(inv_nf, coeffs.shape))
+    coeffs = base_mul(coeffs, jnp.broadcast_to(inv_nf, coeffs.shape))
 
-    result = jnp.zeros((rows, d, 4), dtype=jnp.uint64)
-    alpha_b = jnp.broadcast_to(alpha[None], (rows, d, 4))
-    scaled = [f128_mul(coeffs[k],
+    result = jnp.zeros((rows, d, 2), dtype=jnp.uint64)
+    alpha_b = jnp.broadcast_to(alpha[None], (rows, d, 2))
+    scaled = [base_mul(coeffs[k],
                        jnp.broadcast_to(inv_off_pows[k][:, None, :],
-                                        (rows, d, 4)))
+                                        (rows, d, 2)))
               for k in range(n_fold)]
     for k in range(n_fold - 1, -1, -1):
         result = ext_add(ext_mul(result, alpha_b), scaled[k])
@@ -618,29 +622,16 @@ def _fri_pow_rows_jit(inv_offsets, n_fold: int):
     acc = inv_offsets
     for _ in range(1, n_fold):
         rows.append(acc)
-        acc = f128_mul(acc, inv_offsets)
+        acc = base_mul(acc, inv_offsets)
     return jnp.stack(rows)
 
 
 @lru_cache(maxsize=None)
 def fri_inv_offset_powers(n: int, n_fold: int, domain_offset: int):
-    """(N, rows, 4) device matrix of ((offset·g^i)^-1)^k."""
+    """(N, rows, 2) device matrix of ((offset·g^i)^-1)^k."""
     rows = n // n_fold
-    g = F128.get_root_of_unity(n.bit_length() - 1)
+    g = F62.get_root_of_unity(n.bit_length() - 1)
     inv_offsets = _power_series_dev(pow(g, P - 2, P), rows,
                                     pow(domain_offset % P, P - 2, P))
     with jax.ensure_compile_time_eval():
         return _fri_pow_rows_jit(inv_offsets, n_fold)
-
-
-# ================================================================================
-# Neutral engine aliases — the shared limb-engine interface (ops/f62.py twin)
-# ================================================================================
-
-base_add = f128_add
-base_sub = f128_sub
-base_neg = f128_neg
-base_mul = f128_mul
-base_mul_base = f128_mul_base
-base_pow_const = f128_pow_const
-base_inv = f128_inv

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..math.fields import Field
+from . import f62
 from . import f128 as fd
 from . import goldilocks as gl
 
@@ -89,51 +90,60 @@ class JaxOps:
         return gl.jnp.broadcast_to(a, shape), gl.jnp.broadcast_to(b, shape)
 
 
-class JaxOpsF128:
-    """Device engine handle for f128 AIRs: (n, d, 4) uint64 limb arrays."""
+class JaxOpsLimb:
+    """Device engine handle for limb-represented fields: (n, d, NUM_LIMBS)
+    uint64 limb arrays. Subclasses bind a concrete limb engine module
+    (ops/f128.py or ops/f62.py — identical public interfaces)."""
 
     is_device = True
+    engine = None  # limb engine module, set by subclass
 
     def __init__(self, field: Field):
-        assert field.base.name == "f128", "JaxOpsF128 supports the f128 field"
+        eng = type(self).engine
+        assert field.base.p == eng.P, (
+            f"{type(self).__name__} supports only its bound field")
         self.field = field
 
     # -- construction -------------------------------------------------------
 
     def constant(self, v: int):
+        eng = type(self).engine
         d = self.field.degree
         out = np.zeros((1, d), dtype=object)
-        out[0, 0] = v % fd.P
-        return fd.to_device(out)
+        out[0, 0] = v % eng.P
+        return eng.to_device(out)
 
     def lift(self, e):
         if not isinstance(e, tuple):
             return e  # already a device limb array
+        eng = type(self).engine
         d = self.field.degree
         out = np.zeros((1, d), dtype=object)
         for i, v in enumerate(e):
             out[0, i] = int(v)
-        return fd.to_device(out)
+        return eng.to_device(out)
 
     def zeros(self, n: int):
-        return fd.jnp.zeros((n, self.field.degree, 4), dtype=fd.jnp.uint64)
+        eng = type(self).engine
+        return eng.jnp.zeros((n, self.field.degree, eng.NUM_LIMBS),
+                             dtype=eng.jnp.uint64)
 
     # -- arithmetic ----------------------------------------------------------
 
     def add(self, a, b):
         a, b = self._broadcast(a, b)
-        return fd.ext_add(a, b)
+        return type(self).engine.ext_add(a, b)
 
     def sub(self, a, b):
         a, b = self._broadcast(a, b)
-        return fd.ext_sub(a, b)
+        return type(self).engine.ext_sub(a, b)
 
     def neg(self, a):
-        return fd.f128_neg(a)
+        return type(self).engine.base_neg(a)
 
     def mul(self, a, b):
         a, b = self._broadcast(a, b)
-        return fd.ext_mul(a, b)
+        return type(self).engine.ext_mul(a, b)
 
     def exp(self, a, k: int):
         assert k >= 1
@@ -148,16 +158,29 @@ class JaxOpsF128:
         return result
 
     def mul_base(self, a, s):
+        eng = type(self).engine
         if isinstance(s, int):
-            return fd.f128_mul(
-                a, fd.jnp.broadcast_to(fd.scalar(s), a.shape))
-        if s.ndim == a.ndim - 1:  # (n, 4) base scalars under (n, d, 4)
+            return eng.base_mul(
+                a, eng.jnp.broadcast_to(eng.scalar(s), a.shape))
+        if s.ndim == a.ndim - 1:  # (n, L) base scalars under (n, d, L)
             s = s[..., None, :]
-        return fd.f128_mul(a, fd.jnp.broadcast_to(s, a.shape))
+        return eng.base_mul(a, eng.jnp.broadcast_to(s, a.shape))
 
-    @staticmethod
-    def _broadcast(a, b):
+    def _broadcast(self, a, b):
+        jnp = type(self).engine.jnp
         if a.shape == b.shape:
             return a, b
-        shape = fd.jnp.broadcast_shapes(a.shape, b.shape)
-        return fd.jnp.broadcast_to(a, shape), fd.jnp.broadcast_to(b, shape)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)
+
+
+class JaxOpsF128(JaxOpsLimb):
+    """f128 AIRs: (n, d, 4) uint64 limb arrays."""
+
+    engine = fd
+
+
+class JaxOpsF62(JaxOpsLimb):
+    """f62 AIRs: (n, d, 2) uint64 limb arrays."""
+
+    engine = f62

@@ -62,6 +62,34 @@ from .channel import ProverChannel
 jnp = gl.jnp
 
 
+# words per flatten slab: bounds the lane-padded relayout temp that a
+# narrow-trailing-dim reshape materializes (e.g. (m, 8, 3) u64 pads 3 → 128
+# lanes, a 42× copy — 16 GB for one 2^22-proof FRI layer)
+_FLAT_SLAB = 1 << 22
+
+
+@jax.jit
+def _reshape_flat(chunk):
+    return chunk.reshape(-1)
+
+
+def _to_flat(arr):
+    """Device array -> 1-D device array, flattened in row slabs: slicing a
+    big resident array is cheap, but a single whole-array reshape pads the
+    trailing dims up to the (8, 128) tile inside the program — the slabs
+    bound that temp to ~64 MB regardless of array size."""
+    if arr.ndim == 1:
+        return arr
+    n = arr.shape[0]
+    rw = int(np.prod(arr.shape[1:], dtype=np.int64))
+    slab = max(1, _FLAT_SLAB // rw)
+    slab = 1 << (slab.bit_length() - 1)  # pow2 rows -> even pow2 slabs
+    if n <= slab:
+        return _reshape_flat(arr)
+    parts = [_reshape_flat(arr[i : i + slab]) for i in range(0, n, slab)]
+    return jnp.concatenate(parts)
+
+
 def _padded_take(arr, indexes):
     """Gather rows at python-int indexes, padding the index vector to the
     next power of two so distinct index COUNTS reuse the same compiled
@@ -81,7 +109,7 @@ def _padded_take(arr, indexes):
         cap *= 2
     padded = np.concatenate(
         [word_idx, np.full(cap - k * rw, word_idx[0], dtype=np.int64)])
-    rows = np.asarray(jnp.take(arr.reshape(-1), jnp.asarray(padded), axis=0))
+    rows = np.asarray(jnp.take(_to_flat(arr), jnp.asarray(padded), axis=0))
     return rows[: k * rw].reshape((k,) + row_shape)
 
 
@@ -506,6 +534,23 @@ def _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs):
     inv_gz = gl.ext_mul(inv_prod, den_z)
     return gl.ext_add(
         gl.ext_mul(comp_z, inv_z), gl.ext_mul(comp_gz, inv_gz))
+
+
+# DEEP combine is pointwise over the domain, so huge domains run it in row
+# slabs: the one-program form's extension-inversion temps alone exceed HBM at
+# a 2^25-point domain (16 GB of HLO temp for the fused program)
+_DEEP_SLAB = 1 << 22
+
+
+def _deep_combine_slabbed(comp_z, comp_gz, z_arr, zg_arr, xs):
+    n = comp_z.shape[0]
+    if n <= _DEEP_SLAB:
+        return _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs)
+    parts = [
+        _deep_combine(comp_z[i : i + _DEEP_SLAB], comp_gz[i : i + _DEEP_SLAB],
+                      z_arr, zg_arr, xs[i : i + _DEEP_SLAB])
+        for i in range(0, n, _DEEP_SLAB)]
+    return jnp.concatenate(parts, axis=0)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -1046,7 +1091,7 @@ class GoldilocksProver(Prover):
                     comp_z, comp_gz, comp_lde[:, j], cc_arr[idx],
                     adj_z[idx], adj_gz[idx])
                 idx += 1
-            return _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs)
+            return _deep_combine_slabbed(comp_z, comp_gz, z_arr, zg_arr, xs)
 
         fn = self._get_deep_fn(d, lde_size,
                                aux_width=0 if aux_lde is None else aux_lde.shape[1])

@@ -1,790 +1,5 @@
-"""F128Prover — the device-resident prove() pipeline for f128 configs.
-
-The reference defaults 7 of its 8 examples to the f128 base field with BLAKE3
-commitments (examples/src/lib.rs:8-10, 86-93); this prover moves that whole
-path onto the accelerator:
-
-- trace/aux/composition interpolation + coset LDE: the f128 limb NTT
-  (winterfell_tpu.ops.f128 — 32-bit digits in u64 lanes)
-- row hashing + Merkle layer reduction: vectorized u32-native BLAKE3
-  (winterfell_tpu.ops.blake3_device), 256- or 192-bit digests,
-  PartitionOptions column chunking included (row_matrix.rs:184-229)
-- constraint evaluation: the AIR's own ``evaluate_transition`` traced with
-  :class:`JaxOpsF128` over the whole CE domain in one jit (sequence boundary
-  value polynomials evaluated by one batched in-graph NTT — mirroring
-  prover/src/constraints/evaluator/boundary.rs:29-445)
-- DEEP composition: pointwise rational C_z(x)/(x−z) + C_gz(x)/(x−z·g) with a
-  paired extension inversion — value-identical to the reference's
-  coefficient-space synthetic division (prover/src/composer/mod.rs:186-199)
-- FRI folding: device ``f128.fri_fold``
-
-Transcript, proof assembly and grinding stay in the host channel; only
-digests, OOD scalars and queried rows cross the link. Every domain-sized
-constant is device-built and passed as a runtime argument (small
-executables — the round-1 lesson). Proof bytes are pinned to the host
-prover in tests/test_device_f128_prover.py.
-"""
-
-from __future__ import annotations
-
-from functools import partial
-from typing import List
-
-import numpy as np
-
-import jax
-
-from ..air.air import EvaluationFrame
-from ..air.divisor import ConstraintDivisor
-from ..air.proof import FriProof, FriProofLayer, Proof, Queries
-from ..crypto.hashers import Blake3_192, Blake3_256, Sha3_256
-from ..fri import FriOptions, fold_positions
-from ..math.fields import F128, Field
-from ..utils import tracing
-from ..ops import blake3_device as b3
-from ..ops import f128 as fd
-from ..ops import sha3_device as s3
-from ..ops.jax_ops import JaxOpsF128
-from . import Prover
-from .channel import ProverChannel
-from .device import (
-    PrehashedMerkleTree,
-    _DigestView,
-    _HeapNodesView,
-    _padded_take,
-)
-
-jnp = fd.jnp
-
-# hasher -> (row-hash fn, merkle-levels fn, digest words); the two hash
-# modules share the words-in/words-out interface
-_DEVICE_HASHERS = {
-    Blake3_256: (b3.blake3_hash_words, b3.merkle_levels_blake3, 8),
-    Blake3_192: (b3.blake3_hash_words, b3.merkle_levels_blake3, 6),
-    Sha3_256: (s3.sha3_hash_words, s3.merkle_levels_sha3, 8),
-}
-
-
-def _f128_sum(arr, axis: int = 0):
-    """Tree-structured modular sum along a power-of-two axis (limb arrays)."""
-    arr = jnp.moveaxis(arr, axis, 0)
-    while arr.shape[0] > 1:
-        half = arr.shape[0] // 2
-        arr = fd.f128_add(arr[:half], arr[half : 2 * half])
-    return arr[0]
-
-
-@partial(jax.jit, static_argnums=(1,))
-def _pow_table_from_jumps(jumps, n: int):
-    """(n, d, 4) table of z^k from host-computed jumps z^(2^j)."""
-    d = jumps.shape[1]
-    one = np.zeros((1, d, 4), dtype=np.uint64)
-    one[0, 0, 0] = 1
-    cur = jnp.asarray(one)
-    j = 0
-    length = 1
-    while length < n:
-        zl = jumps[j][None]
-        cur = jnp.concatenate(
-            [cur, fd.ext_mul(cur, jnp.broadcast_to(zl, cur.shape))], axis=0)
-        j += 1
-        length *= 2
-    return cur
-
-
-def _z_power_table(ext: Field, z: tuple, n: int):
-    logn = max((n - 1).bit_length(), 1)
-    jumps = np.zeros((logn, ext.degree), dtype=object)
-    acc = z
-    for j in range(logn):
-        jumps[j] = list(acc)
-        acc = ext.mul(acc, acc)
-    return _pow_table_from_jumps(fd.to_device(jumps), n)
-
-
-@jax.jit
-def _eval_cols_base(polys, pows):
-    """Σ_k coeff[k]·z^k per base column: polys (n, k, 4), pows (n, d, 4) →
-    (k, d, 4)."""
-    prod = fd.f128_mul(polys[:, :, None, :], pows[:, None, :, :])
-    return _f128_sum(prod, axis=0)
-
-
-@jax.jit
-def _eval_cols_ext(polys, pows):
-    """polys (n, k, d, 4) ext columns → (k, d, 4)."""
-    prod = fd.ext_mul(polys, jnp.broadcast_to(pows[:, None], polys.shape))
-    return _f128_sum(prod, axis=0)
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def _transition_divisor_inv(xs, n: int, exemptions: tuple):
-    """1/(x^n − 1) · Π(x − e) over the CE domain (xs traced — no folding)."""
-    one = np.zeros((1, 4), dtype=np.uint64)
-    one[0, 0] = 1
-    num = fd.f128_sub(fd.f128_pow_const(xs, n),
-                      jnp.broadcast_to(jnp.asarray(one), xs.shape))
-    inv_num = fd.f128_inv(num)
-    exempt = jnp.broadcast_to(jnp.asarray(one), xs.shape)
-    for e in exemptions:
-        exempt = fd.f128_mul(
-            exempt, fd.f128_sub(xs, jnp.broadcast_to(fd.scalar(e), xs.shape)))
-    return fd.f128_mul(inv_num, exempt)
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def _boundary_divisor_inv(xs, a: int, b0: int):
-    return fd.f128_inv(
-        fd.f128_sub(fd.f128_pow_const(xs, a),
-                    jnp.broadcast_to(fd.scalar(b0), xs.shape)))
-
-
-# ================================================================================
-# BLAKE3 commit pipelines
-# ================================================================================
-
-
-def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
-                     digest_words: int, hash_fn=b3.blake3_hash_words):
-    """Partitioned BLAKE3 row hashing over word-layout rows: chunks of
-    psize_elems base elements (4 words each) hashed separately, chunk digests
-    combined with merge_many — identical bytes to the host row hashing
-    (row_matrix.rs:184-229)."""
-    W = words_2d.shape[1]
-    pw = psize_elems * 4
-    if pw >= W:
-        return hash_fn(words_2d, byte_len, digest_words)
-    digests = []
-    for i in range(0, W, pw):
-        chunk = words_2d[:, i : i + pw]
-        digests.append(hash_fn(chunk, 4 * chunk.shape[1], digest_words))
-    joined = jnp.concatenate(digests, axis=1)
-    return hash_fn(joined, 4 * joined.shape[1], digest_words)
-
-
-# above this LDE size run interpolate/LDE/hash as separate programs (frees
-# NTT intermediates between steps — the limb layout doubles f64's footprint)
-_FUSE_LIMIT = 1 << 22
-
-
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan, n: int,
-                           blowup: int, psize: int, digest_words: int,
-                           hash_fn=b3.blake3_hash_words):
-    polys = fd.ntt_interpolate_body(matrix, inv_plan, n)
-    lde = fd.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
-    m = lde.shape[0]
-    words = lde.astype(jnp.uint32).reshape(m, -1)
-    byte_len = 4 * words.shape[1]
-    leaves = _hash_rows_words(words, byte_len, psize, digest_words, hash_fn)
-    return polys, lde, leaves
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _hash_rows_split(words_2d, psize: int, digest_words: int,
-                     hash_fn=b3.blake3_hash_words):
-    return _hash_rows_words(words_2d, 4 * words_2d.shape[1], psize,
-                            digest_words, hash_fn)
-
-
-_HASH_SLAB = 1 << 21
-
-
-def _hash_lde_rows(lde, psize: int, digest_words: int,
-                   hash_fn=b3.blake3_hash_words):
-    m = lde.shape[0]
-    if m <= _HASH_SLAB:
-        return _hash_rows_split(lde.astype(jnp.uint32).reshape(m, -1),
-                                psize, digest_words, hash_fn)
-    parts = [
-        _hash_rows_split(
-            lde[i : i + _HASH_SLAB].astype(jnp.uint32).reshape(_HASH_SLAB, -1),
-            psize, digest_words, hash_fn)
-        for i in range(0, m, _HASH_SLAB)]
-    return jnp.concatenate(parts, axis=0)
-
-
-def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
-                     digest_words: int, hash_fn=b3.blake3_hash_words):
-    inv_plan = fd.ntt_plan(n, True)
-    fwd_plan = fd.ntt_plan(n * blowup, False)
-    off_pows = fd._power_series_dev(offset, n)
-    if n * blowup < _FUSE_LIMIT:
-        return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                                      n, blowup, psize, digest_words, hash_fn)
-    polys = fd.ntt_interpolate(matrix, n)
-    lde = fd.ntt_evaluate_with_offset(polys, n, offset, blowup)
-    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn)
-    return polys, lde, leaves
-
-
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
-                                fwd_plan, ce: int, n: int, blowup: int,
-                                num_cols: int, psize: int, digest_words: int,
-                                hash_fn=b3.blake3_hash_words):
-    """iFFT the CE column, segment trace-length coefficient chunks
-    (composition_poly.rs:55-85), LDE + hash — one program."""
-    coeffs = fd.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
-    d = ce_column.shape[-2]
-    comp_columns = jnp.swapaxes(
-        coeffs[: num_cols * n].reshape(num_cols, n, d, 4), 0, 1)
-    lde = fd.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup)
-    m = lde.shape[0]
-    words = lde.astype(jnp.uint32).reshape(m, -1)
-    leaves = _hash_rows_words(words, 4 * words.shape[1], psize, digest_words,
-                              hash_fn)
-    return comp_columns, lde, leaves
-
-
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
-                  n: int):
-    coeffs = fd.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
-    d = ce_column.shape[-2]
-    return jnp.swapaxes(coeffs[: num_cols * n].reshape(num_cols, n, d, 4), 0, 1)
-
-
-def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
-                          num_cols: int, psize: int, digest_words: int,
-                          hash_fn=b3.blake3_hash_words):
-    interp_pows = fd.interp_offset_powers(ce, offset)
-    inv_plan = fd.ntt_plan(ce, True)
-    if n * blowup < _FUSE_LIMIT:
-        return _comp_commit_pipeline_fused(
-            ce_column, interp_pows, inv_plan, fd._power_series_dev(offset, n),
-            fd.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
-            digest_words, hash_fn)
-    comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
-                                 num_cols, n)
-    lde = fd.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn)
-    return comp_columns, lde, leaves
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _fri_layer_commit(evaluations, n_fold: int, digest_words: int,
-                      hash_fn=b3.blake3_hash_words):
-    """Transpose a FRI layer into N-value rows, hash, ready for the Merkle
-    reduce (fri/src/prover/mod.rs:202-222)."""
-    n, d = evaluations.shape[0], evaluations.shape[1]
-    rows = n // n_fold
-    transposed = jnp.swapaxes(
-        evaluations.reshape(n_fold, rows, d, 4), 0, 1)  # (rows, N, d, 4)
-    words = transposed.astype(jnp.uint32).reshape(rows, -1)
-    leaves = hash_fn(words, 4 * words.shape[1], digest_words)
-    return transposed, leaves
-
-
-# ================================================================================
-# The prover
-# ================================================================================
-
-
-class F128Prover(Prover):
-    """Drop-in Prover for f128 AIRs with BLAKE3 commitments. Wrap an existing
-    host prover class via ``accelerate``."""
-
-    @classmethod
-    def accelerate(cls, prover_cls):
-        return type(f"F128{prover_cls.__name__}", (cls, prover_cls), {})
-
-    def prove(self, trace) -> Proof:
-        pub_inputs = self.get_pub_inputs(trace)
-        air = self.air_class(trace.info(), pub_inputs, self.options)
-        assert air.base is F128, "F128Prover requires the f128 base field"
-        assert self.hasher in _DEVICE_HASHERS, (
-            "F128Prover requires a BLAKE3 or SHA3 hasher (device row hashing)")
-        hash_fn, self._levels_fn, dw = _DEVICE_HASHERS[self.hasher]
-        channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
-        phases = tracing.Phases("device_prove_f128")
-
-        ext = air.ext_field
-        d = ext.degree
-        n = air.trace_length
-        blowup = air.options.blowup_factor
-        offset = air.domain_offset
-        lde_size = air.lde_domain_size
-        ce = air.context.ce_domain_size
-        part = air.options.partition_options
-
-        # 1 ----- trace commitment ------------------------------------------
-        main_dev = fd.to_device(trace.main_segment())  # (n, w, 4)
-        w = main_dev.shape[1]
-        main_polys, main_lde, leaves = _commit_pipeline(
-            main_dev, n, offset, blowup, part.partition_size(w, 1), dw,
-            hash_fn)
-        main_tree = self._make_tree(leaves)
-        channel.commit_trace(main_tree.root)
-        phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
-
-        aux_polys = aux_lde = aux_tree = aux_rand_elements = None
-        if air.trace_info.is_multi_segment:
-            aux_rand_elements = air.get_aux_rand_elements(channel.public_coin)
-            aux_obj = self.build_aux_trace(trace, aux_rand_elements)
-            aux_dev = fd.to_device(aux_obj)  # (n, w_aux, d, 4)
-            w_aux = aux_dev.shape[1]
-            aux_polys, aux_lde, leaves = _commit_pipeline(
-                aux_dev, n, offset, blowup,
-                part.partition_size(w_aux, d) * d, dw, hash_fn)
-            aux_tree = self._make_tree(leaves)
-            channel.commit_trace(aux_tree.root)
-
-        # 2 ----- constraint evaluation -------------------------------------
-        ccs = channel.get_constraint_composition_coeffs()
-        ce_column = self._evaluate_constraints(
-            air, main_lde, aux_lde, aux_rand_elements, ccs)  # (ce, d, 4)
-        ce_column.block_until_ready()
-        phases.mark("evaluate_constraints", ce_domain_size=ce)
-
-        # 3 ----- composition commitment ------------------------------------
-        num_cols = air.context.num_constraint_composition_columns()
-        comp_columns, comp_lde, leaves = _comp_commit_pipeline(
-            ce_column, ce, n, offset, blowup, num_cols,
-            part.partition_size(num_cols, d) * d, dw, hash_fn)
-        comp_tree = self._make_tree(leaves)
-        channel.commit_constraints(comp_tree.root)
-        phases.mark("commit_to_constraint_evaluations")
-
-        # 4 ----- OOD evaluations + DEEP ------------------------------------
-        z = channel.get_ood_point()
-        g_trace = F128.get_root_of_unity(n.bit_length() - 1)
-        zg = ext.mul_base(z, g_trace)
-        z_pows = _z_power_table(ext, z, n)
-        zg_pows = _z_power_table(ext, zg, n)
-
-        def eval_cols_at(polys, pows):
-            if polys.ndim == 3:  # base (n, k, 4)
-                res = fd.to_host(_eval_cols_base(polys, pows))
-            else:  # (n, k, d, 4)
-                res = fd.to_host(_eval_cols_ext(polys, pows))
-            return [tuple(int(x) for x in row) for row in res]
-
-        trace_cur = eval_cols_at(main_polys, z_pows)
-        trace_nxt = eval_cols_at(main_polys, zg_pows)
-        if aux_polys is not None:
-            trace_cur += eval_cols_at(aux_polys, z_pows)
-            trace_nxt += eval_cols_at(aux_polys, zg_pows)
-        quot_cur = eval_cols_at(comp_columns, z_pows)
-        quot_nxt = eval_cols_at(comp_columns, zg_pows)
-
-        channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
-        deep_ccs = channel.get_deep_composition_coeffs()
-
-        deep_evaluations = self._deep_evaluations(
-            air, ext, main_lde, aux_lde, comp_lde, z, zg,
-            trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs)  # (lde, d, 4)
-        deep_evaluations.block_until_ready()
-        phases.mark("build_deep_composition_poly")
-
-        # 6 ----- FRI layers -------------------------------------------------
-        fri_options = FriOptions(
-            blowup, air.options.fri_folding_factor,
-            air.options.fri_remainder_max_degree)
-        n_fold = fri_options.folding_factor
-        fri_layers = []
-        evaluations = deep_evaluations
-        for _ in range(fri_options.num_fri_layers(lde_size)):
-            transposed, leaves = _fri_layer_commit(evaluations, n_fold, dw,
-                                                   hash_fn)
-            tree = self._make_tree(leaves)
-            channel.commit_fri_layer(tree.root)
-            alpha = channel.draw_fri_alpha()
-            evaluations = fd.fri_fold(
-                evaluations, n_fold, offset,
-                fd.to_device(np.array(list(alpha), dtype=object)))
-            fri_layers.append((tree, transposed))
-
-        rem_n = evaluations.shape[0]
-        rem_coeffs = fd.ntt_interpolate_with_offset(evaluations, rem_n, offset)
-        keep = rem_n // blowup
-        rem_host = fd.to_host(rem_coeffs[:keep])[::-1]
-        remainder_poly = [tuple(int(x) for x in row) for row in rem_host]
-        channel.commit_fri_layer(self.hasher.hash_elements(remainder_poly, ext))
-        phases.mark("compute_fri_layers")
-
-        # 7 ----- query positions -------------------------------------------
-        channel.grind_query_seed()
-        query_positions = channel.get_query_positions()
-        phases.mark("determine_query_positions")
-
-        # 8 ----- proof assembly --------------------------------------------
-        proof_layers = []
-        positions = list(query_positions)
-        domain_size = lde_size
-        for tree, transposed in fri_layers:
-            positions = fold_positions(positions, domain_size, n_fold)
-            _, batch_proof = tree.prove_batch(positions)
-            rows_obj = fd.from_limbs_np(_padded_take(transposed, positions))
-            query_values = [
-                [tuple(int(x) for x in row[j]) for j in range(n_fold)]
-                for row in rows_obj
-            ]
-            proof_layers.append(
-                FriProofLayer.new(ext, query_values, batch_proof.to_bytes()))
-            domain_size //= n_fold
-        fri_proof = FriProof.new(ext, proof_layers, remainder_poly, 1)
-
-        base_field = Field(F128, 1)
-        trace_queries = [self._query(main_tree, main_lde, query_positions,
-                                     base_field, 1)]
-        if aux_tree is not None:
-            trace_queries.append(self._query(aux_tree, aux_lde,
-                                             query_positions, ext, d))
-        constraint_queries = self._query(comp_tree, comp_lde, query_positions,
-                                         ext, d)
-
-        proof = channel.build_proof(
-            trace_queries, constraint_queries, fri_proof, len(query_positions))
-        phases.mark("build_proof_object")
-        return proof
-
-    # ------------------------------------------------------------------
-    # helpers
-    # ------------------------------------------------------------------
-
-    def _make_tree(self, leaves) -> PrehashedMerkleTree:
-        levels = {lvl.shape[0]: lvl for lvl in self._levels_fn(leaves)}
-        return PrehashedMerkleTree(
-            _DigestView(leaves),
-            _HeapNodesView(levels, leaves.shape[0]),
-            self.hasher)
-
-    @staticmethod
-    def _query(tree, lde, positions: List[int], field: Field,
-               d: int) -> Queries:
-        _, proof = tree.prove_batch(positions)
-        rows_obj = fd.from_limbs_np(_padded_take(lde, positions))
-        rows = []
-        for row in rows_obj:
-            if row.ndim == 1:  # base field row (w,)
-                rows.append([(int(v),) for v in row])
-            else:  # (w, d)
-                rows.append([tuple(int(x) for x in e) for e in row])
-        return Queries.new(proof.to_bytes(), rows, field)
-
-    # ------------------------------------------------------------------
-    # constraint evaluation (device mirror of prover/evaluator.py)
-    # ------------------------------------------------------------------
-
-    def _evaluate_constraints(self, air, main_lde, aux_lde, aux_rand_elements,
-                              ccs):
-        d = air.ext_field.degree
-        blowup = air.options.blowup_factor
-        ce_blowup = air.ce_blowup_factor
-        stride = blowup // ce_blowup
-
-        main_ce = main_lde[::stride]
-        main_ce_next = jnp.roll(main_ce, -ce_blowup, axis=0)
-        aux_ce = aux_ce_next = None
-        if aux_lde is not None:
-            aux_ce = aux_lde[::stride]
-            aux_ce_next = jnp.roll(aux_ce, -ce_blowup, axis=0)
-
-        boundary = air.get_boundary_constraints(aux_rand_elements, ccs.boundary)
-
-        # traced per-proof inputs
-        t_ccs_arr = fd.to_device(
-            np.array([list(cc) for cc in ccs.transition], dtype=object))
-        aux_rand_arr = None
-        if aux_rand_elements is not None:
-            aux_rand_arr = fd.to_device(
-                np.array([list(e) for e in aux_rand_elements], dtype=object))
-
-        def pack_groups(groups, val_d: int):
-            """Per group: (single ccs, single values, sequence ccs, sequence
-            coeff blocks) as traced limb arrays padded to static shapes."""
-            packed = []
-            for g in groups:
-                singles = [c for c in g.constraints if len(c.poly) == 1]
-                seqs = [c for c in g.constraints if len(c.poly) > 1]
-                s_ccs = fd.to_device(np.array(
-                    [list(c.cc) for c in singles], dtype=object).reshape(
-                        len(singles), d))
-                s_vals = np.zeros((len(singles), val_d), dtype=object)
-                for j, c in enumerate(singles):
-                    for t, v in enumerate(c.poly[0]):
-                        s_vals[j, t] = int(v)
-                q_ccs = fd.to_device(np.array(
-                    [list(c.cc) for c in seqs], dtype=object).reshape(
-                        len(seqs), d))
-                if seqs:
-                    L = len(seqs[0].poly)
-                    q_coeffs = np.zeros((L, len(seqs), val_d), dtype=object)
-                    for j, c in enumerate(seqs):
-                        for i, v in enumerate(c.poly):
-                            for t, x in enumerate(v):
-                                q_coeffs[i, j, t] = int(x)
-                    q_coeffs = fd.to_device(q_coeffs)
-                else:
-                    q_coeffs = jnp.zeros((0, 0, val_d, 4), dtype=jnp.uint64)
-                packed.append((s_ccs, fd.to_device(s_vals), q_ccs, q_coeffs))
-            return packed
-
-        main_packed = pack_groups(boundary.main_groups, 1)
-        aux_packed = pack_groups(boundary.aux_groups, d)
-
-        fn, consts = self._get_ce_fn(air, boundary)
-        return fn(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs_arr,
-                  aux_rand_arr, main_packed, aux_packed, consts)
-
-    def _get_ce_fn(self, air, boundary):
-        """Builds (and caches) the jitted CE program plus its device-resident
-        per-structure constants. The cache key covers everything the compiled
-        program bakes in (see GoldilocksProver._get_ce_fn)."""
-        ce = air.context.ce_domain_size
-        n = air.trace_length
-        offset = air.domain_offset
-        ce_blowup = air.ce_blowup_factor
-        ext = air.ext_field
-        d = ext.degree
-        p = fd.P
-        n_main = len(air.context.main_degrees)
-
-        def group_key(groups):
-            return tuple(
-                (tuple(g.divisor.numerator),
-                 tuple((c.column, len(c.poly), c.poly_offset)
-                       for c in g.constraints))
-                for g in groups)
-
-        extra = ()
-        if hasattr(air, "device_transition_key"):
-            extra = air.device_transition_key()
-        periodic_polys = air.get_periodic_column_polys()
-        key = (type(air), n, ce, d, air.context.num_transition_exemptions,
-               group_key(boundary.main_groups), group_key(boundary.aux_groups),
-               tuple(tuple(poly) for poly in periodic_polys), extra)
-        cache = getattr(self, "_ce_cache", None)
-        if cache is None:
-            cache = self._ce_cache = {}
-        if key in cache:
-            return cache[key]
-
-        # ---- device-resident per-structure constants (ARGS) ----
-        from ..math import ntt as host_ntt
-
-        periodic_dev = []
-        for poly in periodic_polys:
-            c = len(poly)
-            coeffs = np.array(poly, dtype=object)[:, None]
-            vals = host_ntt.evaluate_poly_with_offset(
-                F128, coeffs, pow(offset, n // c, p), ce_blowup)
-            arr = fd.to_device(vals)  # (c·ce_blowup, 1, 4)
-            periodic_dev.append(jnp.tile(arr, (ce // arr.shape[0], 1, 1)))
-
-        xs = fd._power_series_dev(F128.get_root_of_unity(ce.bit_length() - 1),
-                                  ce, offset)  # (ce, 4)
-        divisor = ConstraintDivisor.from_transition(
-            F128, n, air.context.num_transition_exemptions)
-        t_div_inv = _transition_divisor_inv(xs, n, tuple(divisor.exemptions))
-
-        plan_ce = fd.ntt_plan(ce, False)
-
-        def group_consts(groups):
-            out = []
-            for g in groups:
-                div_inv = _boundary_divisor_inv(xs, *g.divisor.numerator[0])
-                seqs = [c for c in g.constraints if len(c.poly) > 1]
-                if seqs:
-                    scales = jnp.stack(
-                        [fd._power_series_dev(offset * c.poly_offset % p, ce)
-                         for c in seqs], axis=1)  # (ce, n_seq, 4)
-                else:
-                    scales = jnp.zeros((ce, 0, 4), dtype=jnp.uint64)
-                out.append((div_inv, scales))
-            return out
-
-        consts = (t_div_inv, group_consts(boundary.main_groups),
-                  group_consts(boundary.aux_groups), periodic_dev, plan_ce)
-
-        main_cols = [
-            ([c.column for c in g.constraints if len(c.poly) == 1],
-             [c.column for c in g.constraints if len(c.poly) > 1])
-            for g in boundary.main_groups]
-        aux_cols = [
-            ([c.column for c in g.constraints if len(c.poly) == 1],
-             [c.column for c in g.constraints if len(c.poly) > 1])
-            for g in boundary.aux_groups]
-
-        def run(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs,
-                aux_rands, main_packed, aux_packed, consts):
-            t_div_inv, main_consts, aux_consts, periodic_dev, plan_ce = consts
-            base_ops = JaxOpsF128(Field(F128, 1))
-            frame = EvaluationFrame(
-                [main_ce[:, c : c + 1] for c in range(main_ce.shape[1])],
-                [main_ce_next[:, c : c + 1] for c in range(main_ce.shape[1])])
-            main_evals = air.evaluate_transition(frame, periodic_dev, base_ops)
-
-            combined = jnp.zeros((ce, d, 4), dtype=jnp.uint64)
-            for i, ev in enumerate(main_evals):
-                combined = fd.ext_add(
-                    combined, fd.f128_mul(ev, t_ccs[i][None]))
-
-            if aux_ce is not None:
-                ext_ops = JaxOpsF128(ext)
-                lift = lambda a: jnp.pad(a, ((0, 0), (0, d - 1), (0, 0)))
-                main_frame_ext = EvaluationFrame(
-                    [lift(main_ce[:, c : c + 1])
-                     for c in range(main_ce.shape[1])],
-                    [lift(main_ce_next[:, c : c + 1])
-                     for c in range(main_ce.shape[1])])
-                periodic_ext = [lift(pv) for pv in periodic_dev]
-                aux_frame = EvaluationFrame(
-                    [aux_ce[:, c] for c in range(aux_ce.shape[1])],
-                    [aux_ce_next[:, c] for c in range(aux_ce.shape[1])])
-                rand_list = [aux_rands[i][None]
-                             for i in range(aux_rands.shape[0])]
-                aux_evals = air.evaluate_aux_transition(
-                    main_frame_ext, aux_frame, periodic_ext, rand_list,
-                    ext_ops)
-                for i, ev in enumerate(aux_evals):
-                    combined = fd.ext_add(
-                        combined,
-                        fd.ext_mul(ev, jnp.broadcast_to(
-                            t_ccs[n_main + i][None], ev.shape)))
-
-            result = fd.ext_mul_base(combined, t_div_inv)
-
-            def add_groups(cols, group_consts_l, packed, trace, is_ext):
-                nonlocal result
-                for (s_cols, q_cols), (div_inv, scales), \
-                        (s_ccs, s_vals, q_ccs, q_coeffs) in zip(
-                            cols, group_consts_l, packed):
-                    numer = jnp.zeros((ce, d, 4), dtype=jnp.uint64)
-                    for j, col in enumerate(s_cols):
-                        if is_ext:
-                            diff = fd.ext_sub(
-                                trace[:, col],
-                                jnp.broadcast_to(s_vals[j][None], (ce, d, 4)))
-                            numer = fd.ext_add(numer, fd.ext_mul(
-                                diff, jnp.broadcast_to(s_ccs[j][None],
-                                                       diff.shape)))
-                        else:
-                            col_vals = trace[:, col : col + 1]  # (ce, 1, 4)
-                            diff = fd.f128_sub(
-                                col_vals,
-                                jnp.broadcast_to(s_vals[j][None],
-                                                 col_vals.shape))
-                            numer = fd.ext_add(
-                                numer, fd.f128_mul(diff, s_ccs[j][None]))
-                    if q_cols:
-                        # batched sequence value polys: zero-pad the (L, k)
-                        # coefficient block to the CE size, scale by the
-                        # per-column (offset·poly_offset)^i series, one NTT
-                        L, k, vd = q_coeffs.shape[:3]
-                        padded = jnp.concatenate(
-                            [q_coeffs,
-                             jnp.zeros((ce - L, k, vd, 4), dtype=jnp.uint64)],
-                            axis=0)
-                        scaled = fd.f128_mul(padded, scales[:, :, None, :])
-                        b_vals = fd.ntt_evaluate_body(scaled, plan_ce, ce)
-                        for j, col in enumerate(q_cols):
-                            if is_ext:
-                                diff = fd.ext_sub(trace[:, col], b_vals[:, j])
-                                numer = fd.ext_add(numer, fd.ext_mul(
-                                    diff, jnp.broadcast_to(q_ccs[j][None],
-                                                           diff.shape)))
-                            else:
-                                diff = fd.f128_sub(trace[:, col : col + 1],
-                                                   b_vals[:, j])
-                                numer = fd.ext_add(
-                                    numer, fd.f128_mul(diff, q_ccs[j][None]))
-                    result = fd.ext_add(result,
-                                        fd.ext_mul_base(numer, div_inv))
-
-            add_groups(main_cols, main_consts, main_packed, main_ce, False)
-            if aux_ce is not None:
-                add_groups(aux_cols, aux_consts, aux_packed, aux_ce, True)
-            return result
-
-        fn = jax.jit(run)
-        cache[key] = (fn, consts)
-        return cache[key]
-
-    # ------------------------------------------------------------------
-    # DEEP composition (pointwise rational — see module docstring)
-    # ------------------------------------------------------------------
-
-    def _deep_evaluations(self, air, ext, main_lde, aux_lde, comp_lde, z, zg,
-                          trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs):
-        d = ext.degree
-        lde_size = main_lde.shape[0]
-        offset = air.domain_offset
-        h = F128.get_root_of_unity(lde_size.bit_length() - 1)
-        xs = fd._power_series_dev(h, lde_size, offset)  # (lde, 4)
-
-        all_ccs = list(deep_ccs.trace) + list(deep_ccs.constraints)
-        all_cur = trace_cur + quot_cur
-        all_nxt = trace_nxt + quot_nxt
-        cc_arr = fd.to_device(
-            np.array([list(c) for c in all_ccs], dtype=object))
-        adj_z = fd.to_device(np.array(
-            [list(ext.mul(v, c)) for v, c in zip(all_cur, all_ccs)],
-            dtype=object))
-        adj_gz = fd.to_device(np.array(
-            [list(ext.mul(v, c)) for v, c in zip(all_nxt, all_ccs)],
-            dtype=object))
-        z_arr = fd.to_device(np.array([list(z)], dtype=object))
-        zg_arr = fd.to_device(np.array([list(zg)], dtype=object))
-
-        fn = self._get_deep_fn(
-            d, lde_size, aux_width=0 if aux_lde is None else aux_lde.shape[1])
-        return fn(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
-                  z_arr, zg_arr, xs)
-
-    def _get_deep_fn(self, d: int, lde_size: int, aux_width: int):
-        key = (d, lde_size, aux_width)
-        cache = getattr(self, "_deep_cache", None)
-        if cache is None:
-            cache = self._deep_cache = {}
-        if key in cache:
-            return cache[key]
-
-        def accumulate(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
-                       z_arr, zg_arr, xs):
-            comp_z = jnp.zeros((lde_size, d, 4), dtype=jnp.uint64)
-            comp_gz = jnp.zeros((lde_size, d, 4), dtype=jnp.uint64)
-            idx = 0
-
-            def add_term(term, idx):
-                nonlocal comp_z, comp_gz
-                comp_z = fd.ext_add(comp_z, fd.ext_sub(
-                    term, jnp.broadcast_to(adj_z[idx][None], term.shape)))
-                comp_gz = fd.ext_add(comp_gz, fd.ext_sub(
-                    term, jnp.broadcast_to(adj_gz[idx][None], term.shape)))
-
-            for c in range(main_lde.shape[1]):
-                add_term(
-                    fd.f128_mul(main_lde[:, c : c + 1, :], cc_arr[idx][None]),
-                    idx)
-                idx += 1
-            if aux_lde is not None:
-                for c in range(aux_lde.shape[1]):
-                    add_term(fd.ext_mul(
-                        aux_lde[:, c],
-                        jnp.broadcast_to(cc_arr[idx][None],
-                                         aux_lde[:, c].shape)), idx)
-                    idx += 1
-            for j in range(comp_lde.shape[1]):
-                add_term(fd.ext_mul(
-                    comp_lde[:, j],
-                    jnp.broadcast_to(cc_arr[idx][None],
-                                     comp_lde[:, j].shape)), idx)
-                idx += 1
-
-            # x embedded into the extension: (x, 0, ...)
-            xs_ext = jnp.pad(xs[:, None, :], ((0, 0), (0, d - 1), (0, 0)))
-            den_z = fd.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
-            den_gz = fd.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
-            # one inversion instead of two (Montgomery pair trick)
-            inv_prod = fd.ext_inv(fd.ext_mul(den_z, den_gz))
-            inv_z = fd.ext_mul(inv_prod, den_gz)
-            inv_gz = fd.ext_mul(inv_prod, den_z)
-            return fd.ext_add(
-                fd.ext_mul(comp_z, inv_z),
-                fd.ext_mul(comp_gz, inv_gz))
-
-        fn = jax.jit(accumulate)
-        cache[key] = fn
-        return fn
+"""Compatibility shim — the f128 device prover now lives in
+:mod:`winterfell_tpu.prover.device_limb`, which hosts the engine-parametric
+pipeline shared by the f128 and f62 limb engines."""
+
+from .device_limb import F62Prover, F128Prover, LimbFieldProver  # noqa: F401
