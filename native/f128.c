@@ -1,0 +1,199 @@
+/* f128 host field kernels: NTT / coset scaling over p = 2^128 − 45·2^40 + 1.
+ *
+ * The host prover's f128 math layer is object-dtype Python ints (the exact
+ * oracle); these C kernels give the HOST pipeline a fast path for the
+ * O(n log n) polynomial work, ~two orders of magnitude over big-int Python.
+ * The reduction mirrors the proven limb-fold schedule of the device engine
+ * (winterfell_tpu/ops/f128.py): 2^128 ≡ 45·2^40 − 1 =: PHI (mod p), two
+ * folds then a conditional subtract. Reference semantics:
+ * /root/reference/math/src/field/f128/mod.rs:429 (Barrett) — same canonical
+ * results, different reduction.
+ *
+ * Elements are (lo, hi) pairs of uint64 little-endian; arrays are row-major
+ * (n, w) with the transform along axis 0.
+ */
+
+#include <stddef.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+/* p = 2^128 - 45*2^40 + 1 */
+static const u64 P_LO = 0xffffd30000000001ULL; /* low 64 bits of p */
+static const u64 P_HI = 0xffffffffffffffffULL; /* high 64 bits of p */
+/* PHI = 45*2^40 - 1 = 2^128 mod p (fits in 46 bits) */
+static const u64 PHI = (45ULL << 40) - 1ULL;
+
+typedef struct {
+    u64 lo, hi;
+} f128;
+
+static inline int geq_p(f128 a) {
+    return a.hi > P_HI || (a.hi == P_HI && a.lo >= P_LO);
+}
+
+static inline f128 sub_p(f128 a) {
+    f128 r;
+    r.lo = a.lo - P_LO;
+    r.hi = a.hi - P_HI - (a.lo < P_LO);
+    return r;
+}
+
+static inline f128 f128_add(f128 a, f128 b) {
+    f128 r;
+    r.lo = a.lo + b.lo;
+    u64 c = r.lo < a.lo;
+    r.hi = a.hi + b.hi + c;
+    int carry_out = r.hi < a.hi || (c && r.hi == a.hi);
+    if (carry_out) { /* value = 2^128 + r ≡ r + PHI */
+        u64 lo = r.lo + PHI;
+        r.hi += (lo < r.lo);
+        r.lo = lo;
+    }
+    if (geq_p(r))
+        r = sub_p(r);
+    return r;
+}
+
+static inline f128 f128_sub(f128 a, f128 b) {
+    f128 r;
+    int borrow = a.hi < b.hi || (a.hi == b.hi && a.lo < b.lo);
+    r.lo = a.lo - b.lo;
+    r.hi = a.hi - b.hi - (a.lo < b.lo);
+    if (borrow) { /* add p back */
+        u64 lo = r.lo + P_LO;
+        r.hi += P_HI + (lo < r.lo);
+        r.lo = lo;
+    }
+    return r;
+}
+
+/* full 128×128 → 256-bit product, then two PHI folds (ops/f128.py:_fold_256) */
+static inline f128 f128_mul(f128 a, f128 b) {
+    u128 p00 = (u128)a.lo * b.lo;
+    u128 p01 = (u128)a.lo * b.hi;
+    u128 p10 = (u128)a.hi * b.lo;
+    u128 p11 = (u128)a.hi * b.hi;
+
+    u64 r0 = (u64)p00;
+    u128 mid = (p00 >> 64) + (u64)p01 + (u64)p10;
+    u64 r1 = (u64)mid;
+    u128 hi = (mid >> 64) + (p01 >> 64) + (p10 >> 64) + (u64)p11;
+    u64 r2 = (u64)hi;
+    u64 r3 = (u64)(hi >> 64) + (u64)(p11 >> 64);
+
+    /* fold 1: (r3·2^64 + r2)·PHI + (r1·2^64 + r0); PHI < 2^46 */
+    u128 t0 = (u128)r2 * PHI + r0;
+    u128 t1 = (u128)r3 * PHI + r1 + (u64)(t0 >> 64);
+    u64 s0 = (u64)t0;
+    u64 s1 = (u64)t1;
+    u64 s2 = (u64)(t1 >> 64); /* < 2^47 */
+
+    /* fold 2: s2·PHI + (s1·2^64 + s0); s2·PHI < 2^93 */
+    u128 u0 = (u128)s2 * PHI + s0;
+    u64 v0 = (u64)u0;
+    u128 u1 = (u128)s1 + (u64)(u0 >> 64);
+    u64 v1 = (u64)u1;
+    if (u1 >> 64) { /* wrapped past 2^128: add PHI once more */
+        u64 lo = v0 + PHI;
+        v1 += (lo < v0);
+        v0 = lo;
+    }
+    f128 r = {v0, v1};
+    if (geq_p(r))
+        r = sub_p(r);
+    return r;
+}
+
+static f128 f128_pow(f128 a, u128 e) {
+    f128 r = {1, 0};
+    while (e) {
+        if (e & 1)
+            r = f128_mul(r, a);
+        a = f128_mul(a, a);
+        e >>= 1;
+    }
+    return r;
+}
+
+static inline f128 f128_inv(f128 a) {
+    /* p - 2 */
+    u128 p = (((u128)P_HI) << 64) | P_LO;
+    return f128_pow(a, p - 2);
+}
+
+/* ---- NTT (radix-2 DIT, natural order in/out, along axis 0 of (n, w)) ---- */
+
+static void bit_reverse(f128 *data, size_t n, size_t w) {
+    for (size_t i = 1, j = 0; i < n; i++) {
+        size_t bit = n >> 1;
+        for (; j & bit; bit >>= 1)
+            j ^= bit;
+        j ^= bit;
+        if (i < j)
+            for (size_t c = 0; c < w; c++) {
+                f128 t = data[i * w + c];
+                data[i * w + c] = data[j * w + c];
+                data[j * w + c] = t;
+            }
+    }
+}
+
+/* root must be a primitive n-th root of unity (inverse root for the iNTT) */
+void wt_f128_ntt(u64 *raw, size_t n, size_t w, const u64 root_limbs[2],
+                 int inverse) {
+    f128 *data = (f128 *)raw;
+    f128 root = {root_limbs[0], root_limbs[1]};
+
+    bit_reverse(data, n, w);
+
+    f128 *tw = malloc((n / 2 > 0 ? n / 2 : 1) * sizeof(f128));
+    for (size_t m = 2; m <= n; m <<= 1) {
+        size_t half = m >> 1;
+        f128 w_m = f128_pow(root, n / m);
+        tw[0] = (f128){1, 0};
+        for (size_t j = 1; j < half; j++)
+            tw[j] = f128_mul(tw[j - 1], w_m);
+        for (size_t k = 0; k < n; k += m)
+            for (size_t j = 0; j < half; j++)
+                for (size_t c = 0; c < w; c++) {
+                    f128 *u = &data[(k + j) * w + c];
+                    f128 *v = &data[(k + j + half) * w + c];
+                    f128 t = f128_mul(*v, tw[j]);
+                    *v = f128_sub(*u, t);
+                    *u = f128_add(*u, t);
+                }
+    }
+    free(tw);
+
+    if (inverse) {
+        f128 inv_n = f128_inv((f128){(u64)n, 0});
+        for (size_t i = 0; i < n * w; i++)
+            data[i] = f128_mul(data[i], inv_n);
+    }
+}
+
+/* data[i][j] *= scale · s^i  (coset scaling / offset interpolation) */
+void wt_f128_scale_powers(u64 *raw, size_t n, size_t w, const u64 s_limbs[2],
+                          const u64 scale_limbs[2]) {
+    f128 *data = (f128 *)raw;
+    f128 s = {s_limbs[0], s_limbs[1]};
+    f128 acc = {scale_limbs[0], scale_limbs[1]};
+    for (size_t i = 0; i < n; i++) {
+        for (size_t c = 0; c < w; c++)
+            data[i * w + c] = f128_mul(data[i * w + c], acc);
+        acc = f128_mul(acc, s);
+    }
+}
+
+/* batch modular ops used by hot host paths: out = a*b mod p, elementwise */
+void wt_f128_mul_arrays(const u64 *a, const u64 *b, u64 *out, size_t count) {
+    const f128 *fa = (const f128 *)a;
+    const f128 *fb = (const f128 *)b;
+    f128 *fo = (f128 *)out;
+    for (size_t i = 0; i < count; i++)
+        fo[i] = f128_mul(fa[i], fb[i]);
+}

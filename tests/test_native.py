@@ -38,3 +38,47 @@ def test_hashers_use_native_transparently():
     from winterfell_tpu.crypto.hashers import Blake3_256
     data = b"transcript bytes"
     assert Blake3_256.hash(data) == py_blake3(data)
+
+
+# ---- native f128 NTT vs the exact Python-int oracle -------------------------
+
+
+def test_native_f128_ntt_matches_oracle(monkeypatch):
+    import random
+
+    import numpy as np
+
+    from winterfell_tpu.crypto import native
+    from winterfell_tpu.math import ntt
+    from winterfell_tpu.math.fields import F128
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C toolchain")
+
+    rng = random.Random(0xC128)
+    p = F128.p
+    a = np.empty((256, 2), dtype=object)
+    for i in range(256):
+        for j in range(2):
+            a[i, j] = rng.randrange(p)
+
+    def pure(fn, *args):
+        monkeypatch.setenv("WINTER_NATIVE", "0")
+        try:
+            return fn(*args)
+        finally:
+            monkeypatch.setenv("WINTER_NATIVE", "1")
+
+    ev_n = ntt.evaluate_poly(F128, a)
+    assert (ev_n == pure(ntt.evaluate_poly, F128, a)).all()
+    assert (ntt.interpolate_poly(F128, ev_n) == a).all()
+
+    lde_n = ntt.evaluate_poly_with_offset(F128, a, F128.generator, 4)
+    assert (lde_n == pure(
+        ntt.evaluate_poly_with_offset, F128, a, F128.generator, 4)).all()
+    back = ntt.interpolate_poly_with_offset(F128, lde_n, F128.generator)
+    assert (back[:256] == a).all()
+    assert (back == pure(
+        ntt.interpolate_poly_with_offset, F128, lde_n, F128.generator)).all()

@@ -44,6 +44,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.wt_blake3_many.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                        ctypes.c_size_t, ctypes.c_char_p]
         lib.wt_blake3_many.restype = None
+        _u64x2 = ctypes.c_uint64 * 2
+        lib.wt_f128_ntt.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                    ctypes.c_size_t, _u64x2, ctypes.c_int]
+        lib.wt_f128_ntt.restype = None
+        lib.wt_f128_scale_powers.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                             ctypes.c_size_t, _u64x2, _u64x2]
+        lib.wt_f128_scale_powers.restype = None
         _lib = lib
         return lib
     except OSError:
@@ -70,3 +77,28 @@ def blake3_many(rows: bytes, num_rows: int, row_len: int) -> List[bytes]:
     lib.wt_blake3_many(rows, num_rows, row_len, out)
     raw = out.raw
     return [raw[32 * i : 32 * (i + 1)] for i in range(num_rows)]
+
+
+# ---- f128 host polynomial kernels (native/f128.c) ---------------------------
+
+
+def _u64_pair(v: int):
+    return (ctypes.c_uint64 * 2)(v & 0xFFFFFFFFFFFFFFFF, v >> 64)
+
+
+def f128_ntt(limbs, n: int, w: int, root: int, inverse: bool) -> None:
+    """In-place NTT along axis 0 of an (n, w) element array given as a
+    contiguous uint64 numpy array of (lo, hi) limb pairs. ``root`` must be
+    the n-th root (pass the inverse root for the iNTT; ``inverse`` also
+    scales by 1/n)."""
+    lib = _load()
+    assert lib is not None
+    lib.wt_f128_ntt(limbs.ctypes.data, n, w, _u64_pair(root), int(inverse))
+
+
+def f128_scale_powers(limbs, n: int, w: int, s: int, scale: int) -> None:
+    """In-place data[i][j] *= scale * s^i over the limb-pair array."""
+    lib = _load()
+    assert lib is not None
+    lib.wt_f128_scale_powers(limbs.ctypes.data, n, w, _u64_pair(s),
+                             _u64_pair(scale))

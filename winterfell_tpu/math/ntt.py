@@ -12,15 +12,46 @@ All functions operate on the leading axis and broadcast over any trailing axes,
 so one code path serves base-field matrices (n, width) and extension-field
 vectors (n, degree): twiddles are base-field scalars either way, matching
 ``mul_base`` semantics.
+
+For f128 (the reference-default field, where Python big-int math is the
+bottleneck of the HOST prover) the public entry points dispatch to the
+native C kernels in native/f128.c when the toolchain built them; the
+object-int path below remains the exact oracle (tests pin both). Set
+WINTER_NATIVE=0 to force pure Python.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
 
 from .fields import BaseField
+
+
+def _native_f128(base: BaseField, n: int):
+    if base.name != "f128" or n < 4:
+        return None
+    if os.environ.get("WINTER_NATIVE", "1") in ("", "0"):
+        return None
+    from ..crypto import native
+
+    return native if native.available() else None
+
+
+def _to_limbs128(a: np.ndarray) -> np.ndarray:
+    flat = a.reshape(-1)
+    buf = b"".join(int(v).to_bytes(16, "little") for v in flat)
+    return np.frombuffer(buf, dtype="<u8").copy()
+
+
+def _from_limbs128(limbs: np.ndarray, shape: tuple) -> np.ndarray:
+    raw = limbs.tobytes()
+    out = np.empty(int(np.prod(shape, dtype=np.int64)), dtype=object)
+    for i in range(out.shape[0]):
+        out[i] = int.from_bytes(raw[16 * i : 16 * (i + 1)], "little")
+    return out.reshape(shape)
 
 
 @lru_cache(maxsize=None)
@@ -77,13 +108,26 @@ def get_root(base: BaseField, n: int) -> int:
 
 def evaluate_poly(base: BaseField, coeffs: np.ndarray) -> np.ndarray:
     """NTT: coefficients -> evaluations at powers of the n-th root (natural)."""
-    return _ntt_core(base, coeffs, get_root(base, coeffs.shape[0]))
+    n = coeffs.shape[0]
+    native = _native_f128(base, n)
+    if native is not None:
+        w = int(np.prod(coeffs.shape[1:], dtype=np.int64)) if coeffs.ndim > 1 else 1
+        limbs = _to_limbs128(coeffs)
+        native.f128_ntt(limbs, n, w, get_root(base, n), False)
+        return _from_limbs128(limbs, coeffs.shape)
+    return _ntt_core(base, coeffs, get_root(base, n))
 
 
 def interpolate_poly(base: BaseField, evals: np.ndarray) -> np.ndarray:
     """iNTT: evaluations -> coefficients."""
     n = evals.shape[0]
     inv_root = pow(get_root(base, n), base.p - 2, base.p)
+    native = _native_f128(base, n)
+    if native is not None:
+        w = int(np.prod(evals.shape[1:], dtype=np.int64)) if evals.ndim > 1 else 1
+        limbs = _to_limbs128(evals)
+        native.f128_ntt(limbs, n, w, inv_root, True)
+        return _from_limbs128(limbs, evals.shape)
     coeffs = _ntt_core(base, evals, inv_root)
     inv_n = pow(n, base.p - 2, base.p)
     return coeffs * inv_n % base.p
@@ -110,6 +154,17 @@ def evaluate_poly_with_offset(base: BaseField, coeffs: np.ndarray, offset: int,
     h = get_root(base, domain_size)
     out = np.empty((domain_size,) + coeffs.shape[1:], dtype=object)
     root = get_root(base, n)
+    native = _native_f128(base, n)
+    if native is not None:
+        w = int(np.prod(coeffs.shape[1:], dtype=np.int64)) if coeffs.ndim > 1 else 1
+        base_limbs = _to_limbs128(coeffs)
+        for j in range(blowup):
+            s = offset * pow(h, j, base.p) % base.p
+            limbs = base_limbs.copy()
+            native.f128_scale_powers(limbs, n, w, s, 1)
+            native.f128_ntt(limbs, n, w, root, False)
+            out[j::blowup] = _from_limbs128(limbs, coeffs.shape)
+        return out
     for j in range(blowup):
         s = offset * pow(h, j, base.p) % base.p
         out[j::blowup] = _ntt_core(base, _scale_by_powers(base, coeffs, s), root)
@@ -120,8 +175,17 @@ def interpolate_poly_with_offset(base: BaseField, evals: np.ndarray,
                                  offset: int) -> np.ndarray:
     """Inverse of evaluate over the coset offset·g^i: iNTT then scale
     coeff[k] by offset^-k (serial.rs:84-101)."""
-    coeffs = interpolate_poly(base, evals)
+    n = evals.shape[0]
     inv_offset = pow(offset % base.p, base.p - 2, base.p)
+    native = _native_f128(base, n)
+    if native is not None:
+        w = int(np.prod(evals.shape[1:], dtype=np.int64)) if evals.ndim > 1 else 1
+        inv_root = pow(get_root(base, n), base.p - 2, base.p)
+        limbs = _to_limbs128(evals)
+        native.f128_ntt(limbs, n, w, inv_root, True)
+        native.f128_scale_powers(limbs, n, w, inv_offset, 1)
+        return _from_limbs128(limbs, evals.shape)
+    coeffs = interpolate_poly(base, evals)
     return _scale_by_powers(base, coeffs, inv_offset)
 
 
