@@ -125,13 +125,16 @@ class _DigestView:
     rows (Rescue ElementDigest) or (n, 8)/(n, 6) uint32 rows (BLAKE3) — the
     LE word rows are exactly the digest byte layouts."""
 
-    __slots__ = ("arr", "_n", "_host", "_wdtype")
+    __slots__ = ("arr", "_n", "_host", "_wdtype", "_nbytes")
 
-    def __init__(self, arr):
+    def __init__(self, arr, nbytes: Optional[int] = None):
         self.arr = arr
         self._n = arr.shape[0]
         self._host = None
         self._wdtype = "<u4" if arr.dtype == np.uint32 else "<u8"
+        # digest byte length when shorter than the word row (Rp62_248 packs
+        # 248 bits into 8 words — the 32nd byte is a pad the host trims)
+        self._nbytes = nbytes
 
     def __len__(self) -> int:
         return self._n
@@ -144,21 +147,23 @@ class _DigestView:
 
     def __getitem__(self, i) -> bytes:
         if self._host is not None or self._n <= _PULL_THRESHOLD:
-            return self._host_all()[int(i)].tobytes()
+            return self._host_all()[int(i)].tobytes()[: self._nbytes]
         row = _padded_take(self.arr, [int(i)])
-        return np.ascontiguousarray(row.astype(self._wdtype))[0].tobytes()
+        return np.ascontiguousarray(
+            row.astype(self._wdtype))[0].tobytes()[: self._nbytes]
 
     def fetch(self, indexes) -> dict:
         """Batched read of the requested digests."""
         if not indexes:
             return {}
         indexes = list(indexes)
+        nb = self._nbytes
         if self._host is not None or self._n <= _PULL_THRESHOLD:
             host = self._host_all()
-            return {i: host[int(i)].tobytes() for i in indexes}
+            return {i: host[int(i)].tobytes()[:nb] for i in indexes}
         rows = np.ascontiguousarray(
             _padded_take(self.arr, indexes).astype(self._wdtype))
-        return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
+        return {i: rows[k].tobytes()[:nb] for k, i in enumerate(indexes)}
 
 
 class _HeapNodesView:
@@ -173,15 +178,17 @@ class _HeapNodesView:
     level sizes repeat across the trace/constraint/FRI trees of one proof, so
     the handful of per-level-size gather programs is shared."""
 
-    __slots__ = ("levels", "_n", "_w", "_host_levels", "_wdtype")
+    __slots__ = ("levels", "_n", "_w", "_host_levels", "_wdtype", "_nbytes")
 
-    def __init__(self, levels: dict, num_leaves: int):
+    def __init__(self, levels: dict, num_leaves: int,
+                 nbytes: Optional[int] = None):
         first = next(iter(levels.values()))
         self._w = first.shape[1]
         self.levels = levels
         self._n = num_leaves
         self._host_levels = {}
         self._wdtype = "<u4" if first.dtype == np.uint32 else "<u8"
+        self._nbytes = nbytes
 
     def __len__(self) -> int:
         return self._n
@@ -215,14 +222,15 @@ class _HeapNodesView:
         return out
 
     def __getitem__(self, i) -> bytes:
-        return self._take_nodes([int(i)])[0].tobytes()
+        return self._take_nodes([int(i)])[0].tobytes()[: self._nbytes]
 
     def fetch(self, indexes) -> dict:
         indexes = [int(i) for i in indexes]
         if not indexes:
             return {}
         rows = self._take_nodes(indexes)
-        return {i: rows[k].tobytes() for k, i in enumerate(indexes)}
+        nb = self._nbytes
+        return {i: rows[k].tobytes()[:nb] for k, i in enumerate(indexes)}
 
 
 class _RecordingView:

@@ -40,13 +40,14 @@ import jax
 from ..air.air import EvaluationFrame
 from ..air.divisor import ConstraintDivisor
 from ..air.proof import FriProof, FriProofLayer, Proof, Queries
-from ..crypto.hashers import Blake3_192, Blake3_256, Sha3_256
+from ..crypto.hashers import Blake3_192, Blake3_256, Rp62_248, Sha3_256
 from ..fri import FriOptions, fold_positions
 from ..math.fields import Field
 from ..utils import tracing
 from ..ops import blake3_device as b3
 from ..ops import f62 as f62_eng
 from ..ops import f128 as f128_eng
+from ..ops import rp62_device as rp62
 from ..ops import sha3_device as s3
 from ..ops.jax_ops import JaxOpsF62, JaxOpsF128
 from . import Prover
@@ -60,12 +61,24 @@ from .device import (
 
 jnp = f128_eng.jnp
 
-# hasher -> (row-hash fn, merkle-levels fn, digest words); the two hash
-# modules share the words-in/words-out interface
+
+def _combine_words(digests, digest_words: int, hash_fn):
+    """Default partitioned-commitment combine for byte hashers: merge_many =
+    hash over the concatenated chunk-digest bytes (row_matrix.rs:221-228)."""
+    joined = jnp.concatenate(digests, axis=1)
+    return hash_fn(joined, 4 * joined.shape[1], digest_words)
+
+
+# hasher -> (row-hash fn, merkle-levels fn, digest words, partition combine);
+# the hash modules share the words-in/words-out interface
 _DEVICE_HASHERS = {
-    Blake3_256: (b3.blake3_hash_words, b3.merkle_levels_blake3, 8),
-    Blake3_192: (b3.blake3_hash_words, b3.merkle_levels_blake3, 6),
-    Sha3_256: (s3.sha3_hash_words, s3.merkle_levels_sha3, 8),
+    Blake3_256: (b3.blake3_hash_words, b3.merkle_levels_blake3, 8,
+                 _combine_words),
+    Blake3_192: (b3.blake3_hash_words, b3.merkle_levels_blake3, 6,
+                 _combine_words),
+    Sha3_256: (s3.sha3_hash_words, s3.merkle_levels_sha3, 8, _combine_words),
+    Rp62_248: (rp62.rp62_hash_words, rp62.merkle_levels_rp62, 8,
+               rp62.rp62_combine),
 }
 
 
@@ -172,7 +185,8 @@ def _boundary_divisor_inv(xs, a: int, b0: int, eng):
 
 
 def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
-                     digest_words: int, hash_fn, wpe: int):
+                     digest_words: int, hash_fn, wpe: int,
+                     combine=_combine_words):
     """Partitioned row hashing over word-layout rows: chunks of psize_elems
     base elements (wpe u32 words each) hashed separately, chunk digests
     combined with merge_many — identical bytes to the host row hashing
@@ -185,8 +199,7 @@ def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
     for i in range(0, W, pw):
         chunk = words_2d[:, i : i + pw]
         digests.append(hash_fn(chunk, 4 * chunk.shape[1], digest_words))
-    joined = jnp.concatenate(digests, axis=1)
-    return hash_fn(joined, 4 * joined.shape[1], digest_words)
+    return combine(digests, digest_words, hash_fn)
 
 
 # above this LDE size run interpolate/LDE/hash as separate programs (frees
@@ -194,63 +207,66 @@ def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
 _FUSE_LIMIT = 1 << 22
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan, n: int,
                            blowup: int, psize: int, digest_words: int,
-                           hash_fn, eng):
+                           hash_fn, eng, combine):
     polys = eng.ntt_interpolate_body(matrix, inv_plan, n)
     lde = eng.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
     m = lde.shape[0]
     words = lde.astype(jnp.uint32).reshape(m, -1)
     byte_len = 4 * words.shape[1]
     leaves = _hash_rows_words(words, byte_len, psize, digest_words, hash_fn,
-                              eng.NUM_LIMBS)
+                              eng.NUM_LIMBS, combine)
     return polys, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _hash_rows_split(words_2d, psize: int, digest_words: int, hash_fn,
-                     wpe: int):
+                     wpe: int, combine):
     return _hash_rows_words(words_2d, 4 * words_2d.shape[1], psize,
-                            digest_words, hash_fn, wpe)
+                            digest_words, hash_fn, wpe, combine)
 
 
 _HASH_SLAB = 1 << 21
 
 
-def _hash_lde_rows(lde, psize: int, digest_words: int, hash_fn, wpe: int):
+def _hash_lde_rows(lde, psize: int, digest_words: int, hash_fn, wpe: int,
+                   combine=_combine_words):
     m = lde.shape[0]
     if m <= _HASH_SLAB:
         return _hash_rows_split(lde.astype(jnp.uint32).reshape(m, -1),
-                                psize, digest_words, hash_fn, wpe)
+                                psize, digest_words, hash_fn, wpe, combine)
     parts = [
         _hash_rows_split(
             lde[i : i + _HASH_SLAB].astype(jnp.uint32).reshape(_HASH_SLAB, -1),
-            psize, digest_words, hash_fn, wpe)
+            psize, digest_words, hash_fn, wpe, combine)
         for i in range(0, m, _HASH_SLAB)]
     return jnp.concatenate(parts, axis=0)
 
 
 def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
-                     digest_words: int, hash_fn, eng):
+                     digest_words: int, hash_fn, eng,
+                     combine=_combine_words):
     inv_plan = eng.ntt_plan(n, True)
     fwd_plan = eng.ntt_plan(n * blowup, False)
     off_pows = eng._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
                                       n, blowup, psize, digest_words, hash_fn,
-                                      eng)
+                                      eng, combine)
     polys = eng.ntt_interpolate(matrix, n)
     lde = eng.ntt_evaluate_with_offset(polys, n, offset, blowup)
-    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS)
+    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS,
+                            combine)
     return polys, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
                                 fwd_plan, ce: int, n: int, blowup: int,
                                 num_cols: int, psize: int, digest_words: int,
-                                hash_fn, eng):
+                                hash_fn, eng, combine):
     """iFFT the CE column, segment trace-length coefficient chunks
     (composition_poly.rs:55-85), LDE + hash — one program."""
     coeffs = eng.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
@@ -261,7 +277,7 @@ def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
     m = lde.shape[0]
     words = lde.astype(jnp.uint32).reshape(m, -1)
     leaves = _hash_rows_words(words, 4 * words.shape[1], psize, digest_words,
-                              hash_fn, eng.NUM_LIMBS)
+                              hash_fn, eng.NUM_LIMBS, combine)
     return comp_columns, lde, leaves
 
 
@@ -276,18 +292,19 @@ def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
 
 def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
                           num_cols: int, psize: int, digest_words: int,
-                          hash_fn, eng):
+                          hash_fn, eng, combine=_combine_words):
     interp_pows = eng.interp_offset_powers(ce, offset)
     inv_plan = eng.ntt_plan(ce, True)
     if n * blowup < _FUSE_LIMIT:
         return _comp_commit_pipeline_fused(
             ce_column, interp_pows, inv_plan, eng._power_series_dev(offset, n),
             eng.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
-            digest_words, hash_fn, eng)
+            digest_words, hash_fn, eng, combine)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n, eng)
     lde = eng.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
-    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS)
+    leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS,
+                            combine)
     return comp_columns, lde, leaves
 
 
@@ -330,9 +347,11 @@ class LimbFieldProver(Prover):
         assert air.base.p == eng.P, (
             f"{type(self).__name__} requires the {air.base.name} base field")
         assert self.hasher in _DEVICE_HASHERS, (
-            f"{type(self).__name__} requires a BLAKE3 or SHA3 hasher "
-            "(device row hashing)")
-        hash_fn, self._levels_fn, dw = _DEVICE_HASHERS[self.hasher]
+            f"{type(self).__name__} requires a BLAKE3, SHA3 or Rp62_248 "
+            "hasher (device row hashing)")
+        assert self.hasher is not Rp62_248 or eng is f62_eng, (
+            "Rp62_248 hashes f62 elements — pair it with F62Prover")
+        hash_fn, self._levels_fn, dw, combine = _DEVICE_HASHERS[self.hasher]
         channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
         phases = tracing.Phases(f"device_prove_{air.base.name}")
 
@@ -350,7 +369,7 @@ class LimbFieldProver(Prover):
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1), dw,
-            hash_fn, eng)
+            hash_fn, eng, combine)
         main_tree = self._make_tree(leaves)
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
@@ -363,7 +382,7 @@ class LimbFieldProver(Prover):
             w_aux = aux_dev.shape[1]
             aux_polys, aux_lde, leaves = _commit_pipeline(
                 aux_dev, n, offset, blowup,
-                part.partition_size(w_aux, d) * d, dw, hash_fn, eng)
+                part.partition_size(w_aux, d) * d, dw, hash_fn, eng, combine)
             aux_tree = self._make_tree(leaves)
             channel.commit_trace(aux_tree.root)
 
@@ -378,7 +397,7 @@ class LimbFieldProver(Prover):
         num_cols = air.context.num_constraint_composition_columns()
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
-            part.partition_size(num_cols, d) * d, dw, hash_fn, eng)
+            part.partition_size(num_cols, d) * d, dw, hash_fn, eng, combine)
         comp_tree = self._make_tree(leaves)
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
@@ -480,9 +499,10 @@ class LimbFieldProver(Prover):
 
     def _make_tree(self, leaves) -> PrehashedMerkleTree:
         levels = {lvl.shape[0]: lvl for lvl in self._levels_fn(leaves)}
+        nb = self.hasher.digest_size  # 31 for Rp62_248 (trailing pad byte)
         return PrehashedMerkleTree(
-            _DigestView(leaves),
-            _HeapNodesView(levels, leaves.shape[0]),
+            _DigestView(leaves, nbytes=nb),
+            _HeapNodesView(levels, leaves.shape[0], nbytes=nb),
             self.hasher)
 
     def _query(self, tree, lde, positions: List[int], field: Field,
