@@ -8,8 +8,13 @@ elements as explicit (lo, hi) uint32 limb planes and 16-bit half-word
 products on the VPU (Mosaic has no 64-bit integers, which is the point:
 the limb schedule is hand-written instead of emulated).
 
-Layout: rows arrive transposed as (k, m) u32 limb planes so the vector lane
-axis is the row index m (last dim, 128-aligned); the grid walks m in blocks.
+Layout: rows arrive transposed as (k, 8, m/8) u32 limb planes — lane j of
+the Rescue state is a full native (8 sublanes, m/8 lanes) tile, so both the
+stacked S-box chains and the per-lane MDS ops run at 100% VPU occupancy;
+the grid walks the last dim in blocks. Values between ops inside the
+permutation are lazy (< 2^64, ≡ mod p) with one canonical fix per
+permutation, and squarings (62 of 76 muls per round) use a 3-wide-mul
+square.
 The per-round math mirrors the reference permutation exactly
 (crypto/src/hash/rescue/rp64_256/mod.rs:299-319, mds_f64_12x12.rs) and the
 jnp implementation is the oracle (tests/test_pallas_rescue.py pins both).
@@ -36,7 +41,7 @@ _NUM_ROUNDS = 7
 _RATE_START = 4
 _RATE_WIDTH = 8
 
-_LANE_BLOCK = 1024  # rows per grid step (VPU lanes); VMEM use ~2 MB
+_LANE_BLOCK = 512  # lanes per grid step (8·512 = 4096 rows); VMEM use ~4 MB
 
 
 def _u32(v):
@@ -72,11 +77,22 @@ def _mul32_wide(a, b):
     return hi, lo
 
 
-def _gl_reduce_limbs(n0, n1, n2, n3):
-    """(n0..n3 little-endian u32 limbs of a 128-bit value) mod p, canonical.
+def _canon(pair):
+    """u64 pair (< 2·p) → canonical (< p): one conditional subtract of p."""
+    lo, hi = pair
+    ge_p = (hi == _u32(0xFFFFFFFF)) & (lo >= _u32(1))
+    bp, s0 = _subb(lo, _u32(1))
+    s1 = hi - _u32(0xFFFFFFFF) - bp
+    return jnp.where(ge_p, s0, lo), jnp.where(ge_p, s1, hi)
+
+
+def _gl_reduce_limbs(n0, n1, n2, n3, lazy=False):
+    """(n0..n3 little-endian u32 limbs of a 128-bit value) mod p.
 
     Goldilocks identities 2^64 ≡ 2^32 − 1 and 2^96 ≡ −1 (mod p):
-    x ≡ (n0 + n1·2^32) + n2·(2^32 − 1) − n3."""
+    x ≡ (n0 + n1·2^32) + n2·(2^32 − 1) − n3. With ``lazy`` the result may
+    be in [p, 2^64): still ≡ x (mod p) and a valid input to every pair op
+    here, so chains skip the canonical fix until _canon at the end."""
     bl, r0 = _subb(n0, n3)
     under = jnp.where(n1 < bl, _u32(1), _u32(0))
     r1 = n1 - bl
@@ -90,14 +106,14 @@ def _gl_reduce_limbs(n0, n1, n2, n3):
     cf, r0 = _addc(r0, jnp.where(over == 1, _u32(0xFFFFFFFF), _u32(0)))
     r1 = r1 + cf
 
-    ge_p = ((r1 == _u32(0xFFFFFFFF)) & (r0 >= _u32(1))) | (r1 > _u32(0xFFFFFFFF))
-    bp, s0 = _subb(r0, _u32(1))
-    s1 = r1 - _u32(0xFFFFFFFF) - bp
-    return jnp.where(ge_p, s0, r0), jnp.where(ge_p, s1, r1)
+    if lazy:
+        return r0, r1
+    return _canon((r0, r1))
 
 
-def _gl_mul(a, b):
-    """Goldilocks multiply on pairs a = (lo, hi), b = (lo, hi)."""
+def _gl_mul(a, b, lazy=False):
+    """Goldilocks multiply on pairs a = (lo, hi), b = (lo, hi); any u64
+    inputs (canonical not required)."""
     a_lo, a_hi = a
     b_lo, b_hi = b
     h00, l00 = _mul32_wide(a_lo, b_lo)
@@ -111,11 +127,32 @@ def _gl_mul(a, b):
     c2b, n2 = _addc(n2, l11)
     n2c, n2 = _addc(n2, c1a + c1b)
     n3 = h11 + c2a + c2b + n2c
-    return _gl_reduce_limbs(n0, n1, n2, n3)
+    return _gl_reduce_limbs(n0, n1, n2, n3, lazy=lazy)
 
 
-def _gl_add(a, b):
-    """Canonical mod-p add on pairs (both inputs < p)."""
+def _gl_sqr(a, lazy=False):
+    """Goldilocks square: 3 wide muls instead of 4 (the cross product is
+    computed once and doubled). 62 of the 76 muls in a Rescue round are
+    squarings (the inv-S-box 72-mul chain is mostly _squares runs)."""
+    a_lo, a_hi = a
+    h00, l00 = _mul32_wide(a_lo, a_lo)
+    h01, l01 = _mul32_wide(a_lo, a_hi)
+    h11, l11 = _mul32_wide(a_hi, a_hi)
+    # double the cross product: (h01:l01) << 1, top bit carries into n3
+    top = h01 >> _u32(31)
+    h01d = (h01 << _u32(1)) | (l01 >> _u32(31))
+    l01d = l01 << _u32(1)
+    n0 = l00
+    c1, n1 = _addc(h00, l01d)
+    c2a, n2 = _addc(h01d, l11)
+    c2b, n2 = _addc(n2, c1)
+    n3 = h11 + top + c2a + c2b
+    return _gl_reduce_limbs(n0, n1, n2, n3, lazy=lazy)
+
+
+def _gl_add(a, b, lazy=False):
+    """Mod-p add on pairs; any u64 inputs, result ≡ a+b (mod p), < 2^64
+    (canonical when ``lazy`` is false and inputs are < 2·p)."""
     a_lo, a_hi = a
     b_lo, b_hi = b
     c, lo = _addc(a_lo, b_lo)
@@ -127,10 +164,9 @@ def _gl_add(a, b):
     # ≥ 2^64 ⇒ subtract p once ⇔ add 2^32 − 1 to the wrapped value
     cf, lo = _addc(lo, jnp.where(over == 1, _u32(0xFFFFFFFF), _u32(0)))
     hi = hi + cf
-    ge_p = ((hi == _u32(0xFFFFFFFF)) & (lo >= _u32(1))) | (hi > _u32(0xFFFFFFFF))
-    bp, s0 = _subb(lo, _u32(1))
-    s1 = hi - _u32(0xFFFFFFFF) - bp
-    return jnp.where(ge_p, s0, lo), jnp.where(ge_p, s1, hi)
+    if lazy:
+        return lo, hi
+    return _canon((lo, hi))
 
 
 # ---- signed 64-bit (two's-complement) pair helpers for the freq-MDS --------
@@ -252,196 +288,208 @@ def _mds12_freq_pairs(cols):
     return [s0, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11]
 
 
-def _mds_freq(state):
+def _mds_freq(state, ark=None):
     """state: list of 12 canonical (lo, hi) pairs → MDS·state, canonical.
     Low/high 32-bit halves through the integer convolution separately, then
-    a 96-bit Goldilocks recombine (mds_f64_12x12.rs:41-69)."""
+    a 96-bit Goldilocks recombine (mds_f64_12x12.rs:41-69). ``ark``, when
+    given, is 12 (lo, hi) PYTHON-int round-constant pairs folded into the
+    recombine as scalar literals (Pallas kernels cannot capture array
+    constants, and scalars broadcast for free)."""
     zeros = jnp.zeros_like(state[0][0])
     lo_in = [(lo, zeros) for lo, _ in state]
     hi_in = [(hi, zeros) for _, hi in state]
     lo_out = _mds12_freq_pairs(lo_in)
     hi_out = _mds12_freq_pairs(hi_in)
     out = []
-    for (l0, l1), (h0, h1) in zip(lo_out, hi_out):
+    for k, ((l0, l1), (h0, h1)) in enumerate(zip(lo_out, hi_out)):
         # s = lo + hi·2^32 (96-bit, non-negative): limbs n0, n1, n2
         c, n1 = _addc(l1, h0)
         n2 = h1 + c
-        out.append(_gl_reduce_limbs(l0, n1, n2, jnp.zeros_like(l0)))
+        lane = _gl_reduce_limbs(l0, n1, n2, jnp.zeros_like(l0), lazy=True)
+        if ark is not None:
+            lane = _gl_add(lane, (_u32(ark[k][0]), _u32(ark[k][1])),
+                           lazy=True)
+        out.append(lane)
     return out
 
 
 # ---- the permutation --------------------------------------------------------
 #
-# State is ONE stacked pair of (12, blk) u32 planes so the S-box chains run
-# as single vectorized op sequences; only the MDS slices per lane. Rounds run
-# in a fori_loop (an unrolled 7-round graph blows up compile time) with the
-# per-round ARK constants loaded from small operand refs.
+# State is ONE stacked pair of (12, 8, blk) u32 planes: the leading axis is
+# the Rescue lane, the trailing (8, blk) is a full native (sublane, lane)
+# tile, so every op — the stacked S-box chains AND the per-lane MDS slices —
+# runs at 100% VPU utilization (a (12, blk) stacking pads to 16 sublanes and
+# runs MDS slices at 1/8 occupancy). The 7 rounds are unrolled with the ARK
+# constants embedded as scalar literals: Mosaic rejects dynamic
+# lane-dimension slices of an operand ref (it cannot prove 128-alignment of
+# a (12, 7) column load), and broadcast literals are free vector constants.
 
 
-def _mds_freq_stacked(st):
+def _mds_freq_stacked(st, ark=None):
     lo, hi = st
     lanes = [(lo[k : k + 1], hi[k : k + 1]) for k in range(12)]
-    out = _mds_freq(lanes)
+    out = _mds_freq(lanes, ark)
     return (jnp.concatenate([o[0] for o in out], axis=0),
             jnp.concatenate([o[1] for o in out], axis=0))
 
 
 def _sbox(s):
-    x2 = _gl_mul(s, s)
-    x4 = _gl_mul(x2, x2)
-    x6 = _gl_mul(x4, x2)
-    return _gl_mul(x6, s)
+    x2 = _gl_sqr(s, lazy=True)
+    x4 = _gl_sqr(x2, lazy=True)
+    x6 = _gl_mul(x4, x2, lazy=True)
+    return _gl_mul(x6, s, lazy=True)
 
 
 def _squares(s, k: int):
     if k <= 2:
         for _ in range(k):
-            s = _gl_mul(s, s)
+            s = _gl_sqr(s, lazy=True)
         return s
 
     def body(_, pair):
-        return _gl_mul(pair, pair)
+        return _gl_sqr(pair, lazy=True)
 
-    return jax.lax.fori_loop(0, k, body, s)
+    # i32 bounds: under jax_enable_x64 the induction variable would be i64,
+    # which Mosaic cannot legalize on the TPU scalar core
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(k), body, s)
 
 
 def _inv_sbox(s):
     """x^INV_ALPHA via the reference 72-mul addition chain
     (rp64_256/mod.rs apply_inv_sbox), squaring runs as fori_loops."""
-    t1 = _gl_mul(s, s)
-    t2 = _gl_mul(t1, t1)
-    t3 = _gl_mul(_squares(t2, 3), t2)
-    t4 = _gl_mul(_squares(t3, 6), t3)
-    t5 = _gl_mul(_squares(t4, 12), t4)
-    t6 = _gl_mul(_squares(t5, 6), t3)
-    t7 = _gl_mul(_squares(t6, 31), t6)
-    a = _gl_mul(_gl_mul(t7, t7), t6)
-    a = _gl_mul(a, a)
-    a = _gl_mul(a, a)
-    b = _gl_mul(_gl_mul(t1, t2), s)
-    return _gl_mul(a, b)
+    t1 = _gl_sqr(s, lazy=True)
+    t2 = _gl_sqr(t1, lazy=True)
+    t3 = _gl_mul(_squares(t2, 3), t2, lazy=True)
+    t4 = _gl_mul(_squares(t3, 6), t3, lazy=True)
+    t5 = _gl_mul(_squares(t4, 12), t4, lazy=True)
+    t6 = _gl_mul(_squares(t5, 6), t3, lazy=True)
+    t7 = _gl_mul(_squares(t6, 31), t6, lazy=True)
+    a = _gl_mul(_gl_sqr(t7, lazy=True), t6, lazy=True)
+    a = _gl_sqr(a, lazy=True)
+    a = _gl_sqr(a, lazy=True)
+    b = _gl_mul(_gl_mul(t1, t2, lazy=True), s, lazy=True)
+    return _gl_mul(a, b, lazy=True)
 
 
 @lru_cache(maxsize=None)
-def _ark_planes():
-    """(12, 7) u32 numpy planes (ark1_lo, ark1_hi, ark2_lo, ark2_hi):
-    column r holds round r's constants."""
+def _ark_consts():
+    """Per-round tuples of 12 (lo, hi) PYTHON-int pairs for ARK1/ARK2."""
     out = []
     for table in (RP64_256_ARK1, RP64_256_ARK2):
-        arr = np.array(table, dtype=np.uint64).T  # (12, 7)
-        out.append((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-        out.append((arr >> np.uint64(32)).astype(np.uint32))
+        out.append(tuple(
+            tuple((int(v) & 0xFFFFFFFF, int(v) >> 32) for v in row)
+            for row in table))
     return tuple(out)
 
 
-def _permutation(state, ark_refs):
-    """state: ((12, blk) lo, (12, blk) hi) — 7 rounds
-    (rp64_256/mod.rs:299-319)."""
-    a1l, a1h, a2l, a2h = ark_refs
-
-    def ark_col(ref, r):
-        return ref[:, pl.ds(r, 1)]  # (12, 1)
-
-    def round_body(r, st):
-        st = _sbox(st)
-        st = _mds_freq_stacked(st)
-        st = _gl_add(st, (ark_col(a1l, r), ark_col(a1h, r)))
-        st = _inv_sbox(st)
-        st = _mds_freq_stacked(st)
-        st = _gl_add(st, (ark_col(a2l, r), ark_col(a2h, r)))
-        return st
-
-    return jax.lax.fori_loop(0, _NUM_ROUNDS, round_body, state)
+def _permutation(state):
+    """state: ((12, 8, blk) lo, (12, 8, blk) hi) — 7 unrolled rounds
+    (rp64_256/mod.rs:299-319), round constants folded into the MDS recombine
+    as scalar literals. All intermediate values are lazy (< 2^64, ≡ mod p);
+    one _canon at the end makes the state canonical for the absorb adds and
+    the squeeze."""
+    ark1, ark2 = _ark_consts()
+    for r in range(_NUM_ROUNDS):
+        state = _sbox(state)
+        state = _mds_freq_stacked(state, ark1[r])
+        state = _inv_sbox(state)
+        state = _mds_freq_stacked(state, ark2[r])
+    return _canon(state)
 
 
 # ---- kernels ----------------------------------------------------------------
 
 
-def _hash_rows_kernel(k: int, lo_ref, hi_ref, a1l, a1h, a2l, a2h,
-                      out_lo_ref, out_hi_ref):
-    """Sponge over one (k, blk) row block (rp64_256/mod.rs:183-204):
-    capacity[0] = k, absorb rate-8 chunks, squeeze state[4:8]."""
-    blk = lo_ref.shape[1]
-    zeros = jnp.zeros((1, blk), dtype=jnp.uint32)
+def _hash_rows_block(k: int, lo, hi):
+    """Sponge over one (k, 8, blk) row block (rp64_256/mod.rs:183-204):
+    capacity[0] = k, absorb rate-8 chunks, squeeze state[4:8]. Pure jnp on
+    plane arrays — runs inside the Pallas kernel on TPU and directly under
+    jit in the CPU oracle tests."""
+    blk = lo.shape[2]
+    zeros = jnp.zeros((1, 8, blk), dtype=jnp.uint32)
     kmod = k % P
     first = min(k, _RATE_WIDTH)
     pad = _RATE_WIDTH - first
     cap_lo = [zeros + _u32(kmod & 0xFFFFFFFF)] + [zeros] * 3
     cap_hi = [zeros + _u32(kmod >> 32)] + [zeros] * 3
-    st_lo = jnp.concatenate(cap_lo + [lo_ref[:first]] + [zeros] * pad, axis=0)
-    st_hi = jnp.concatenate(cap_hi + [hi_ref[:first]] + [zeros] * pad, axis=0)
-    state = _permutation((st_lo, st_hi), (a1l, a1h, a2l, a2h))
+    st_lo = jnp.concatenate(cap_lo + [lo[:first]] + [zeros] * pad, axis=0)
+    st_hi = jnp.concatenate(cap_hi + [hi[:first]] + [zeros] * pad, axis=0)
+    state = _permutation((st_lo, st_hi))
     i = _RATE_WIDTH
     while i < k:
         width = min(_RATE_WIDTH, k - i)
-        lo, hi = state
-        rate = _gl_add((lo[4 : 4 + width], hi[4 : 4 + width]),
-                       (lo_ref[i : i + width], hi_ref[i : i + width]))
+        slo, shi = state
+        rate = _gl_add((slo[4 : 4 + width], shi[4 : 4 + width]),
+                       (lo[i : i + width], hi[i : i + width]))
         tail = _RATE_START + width
-        st_lo = jnp.concatenate([lo[:4], rate[0], lo[tail:]], axis=0)
-        st_hi = jnp.concatenate([hi[:4], rate[1], hi[tail:]], axis=0)
-        state = _permutation((st_lo, st_hi), (a1l, a1h, a2l, a2h))
+        # a full-rate chunk leaves no tail; Mosaic rejects zero-size slices
+        lo_parts = [slo[:4], rate[0]] + ([slo[tail:]] if tail < 12 else [])
+        hi_parts = [shi[:4], rate[1]] + ([shi[tail:]] if tail < 12 else [])
+        st_lo = jnp.concatenate(lo_parts, axis=0)
+        st_hi = jnp.concatenate(hi_parts, axis=0)
+        state = _permutation((st_lo, st_hi))
         i += _RATE_WIDTH
-    out_lo_ref[:] = state[0][4:8]
-    out_hi_ref[:] = state[1][4:8]
+    return state[0][4:8], state[1][4:8]
 
 
-def _merge_rows_kernel(l_lo, l_hi, r_lo, r_hi, a1l, a1h, a2l, a2h,
-                       out_lo_ref, out_hi_ref):
+def _hash_rows_kernel(k: int, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+    out_lo_ref[:], out_hi_ref[:] = _hash_rows_block(k, lo_ref[:], hi_ref[:])
+
+
+def _merge_rows_block(l_lo, l_hi, r_lo, r_hi):
     """merge(d0, d1): capacity[0] = 8, state = d0 ‖ d1, one permutation
-    (rp64_256/mod.rs:208-221)."""
-    blk = l_lo.shape[1]
-    zeros = jnp.zeros((1, blk), dtype=jnp.uint32)
+    (rp64_256/mod.rs:208-221). Pure jnp on plane arrays."""
+    blk = l_lo.shape[2]
+    zeros = jnp.zeros((1, 8, blk), dtype=jnp.uint32)
     st_lo = jnp.concatenate(
-        [zeros + _u32(_RATE_WIDTH)] + [zeros] * 3 + [l_lo[:], r_lo[:]], axis=0)
-    st_hi = jnp.concatenate([zeros] * 4 + [l_hi[:], r_hi[:]], axis=0)
-    state = _permutation((st_lo, st_hi), (a1l, a1h, a2l, a2h))
-    out_lo_ref[:] = state[0][4:8]
-    out_hi_ref[:] = state[1][4:8]
+        [zeros + _u32(_RATE_WIDTH)] + [zeros] * 3 + [l_lo, r_lo], axis=0)
+    st_hi = jnp.concatenate([zeros] * 4 + [l_hi, r_hi], axis=0)
+    state = _permutation((st_lo, st_hi))
+    return state[0][4:8], state[1][4:8]
+
+
+def _merge_rows_kernel(l_lo, l_hi, r_lo, r_hi, out_lo_ref, out_hi_ref):
+    out_lo_ref[:], out_hi_ref[:] = _merge_rows_block(
+        l_lo[:], l_hi[:], r_lo[:], r_hi[:])
 
 
 def _split_planes(rows):
-    """(m, k) u64 → two (k, m) u32 planes (lo, hi)."""
-    t = rows.T
+    """(m, k) u64 → two (k, 8, m/8) u32 planes (lo, hi): row s·(m/8)+l of
+    lane j lands at [j, s, l], a full native (sublane, lane) tile per lane."""
+    m = rows.shape[0]
+    t = rows.T.reshape(-1, 8, m // 8)
     return ((t & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
             (t >> jnp.uint64(32)).astype(jnp.uint32))
 
 
 def _join_planes(lo, hi):
-    """two (4, m) u32 planes → (m, 4) u64 digests."""
+    """two (4, 8, m/8) u32 planes → (m, 4) u64 digests."""
+    m = lo.shape[1] * lo.shape[2]
     return (lo.astype(jnp.uint64)
-            | (hi.astype(jnp.uint64) << jnp.uint64(32))).T
-
-
-def _ark_specs():
-    spec = pl.BlockSpec((12, _NUM_ROUNDS), lambda i: (0, 0))
-    return [spec] * 4
-
-
-def _ark_args():
-    return tuple(jnp.asarray(p) for p in _ark_planes())
+            | (hi.astype(jnp.uint64) << jnp.uint64(32))).reshape(-1, m).T
 
 
 @partial(jax.jit, static_argnums=(2,))
 def _hash_rows_call(lo, hi, interpret: bool):
-    k, m = lo.shape
-    blk = min(_LANE_BLOCK, m)
-    spec_in = pl.BlockSpec((k, blk), lambda i: (0, i))
-    spec_out = pl.BlockSpec((4, blk), lambda i: (0, i))
+    k, _, lanes = lo.shape
+    blk = min(_LANE_BLOCK, lanes)
+    spec_in = pl.BlockSpec((k, 8, blk), lambda i: (0 * i, 0 * i, i))
+    spec_out = pl.BlockSpec((4, 8, blk), lambda i: (0 * i, 0 * i, i))
     return pl.pallas_call(
         partial(_hash_rows_kernel, k),
-        grid=(m // blk,),
-        in_specs=[spec_in, spec_in] + _ark_specs(),
+        grid=(lanes // blk,),
+        in_specs=[spec_in, spec_in],
         out_specs=(spec_out, spec_out),
-        out_shape=(jax.ShapeDtypeStruct((4, m), jnp.uint32),
-                   jax.ShapeDtypeStruct((4, m), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32),
+                   jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32)),
         interpret=interpret,
-    )(lo, hi, *_ark_args())
+    )(lo, hi)
 
 
 def rp64_hash_rows_pallas(rows, interpret: bool = False):
     """hash_elements of each row: rows (m, k) u64 → digests (m, 4) u64.
-    Drop-in for gl.rp64_hash_rows; m must be a multiple of 128."""
+    Drop-in for gl.rp64_hash_rows; m must be a multiple of 1024 on TPU
+    (8 sublanes × 128-aligned lane count)."""
     lo, hi = _split_planes(rows)
     out_lo, out_hi = _hash_rows_call(lo, hi, interpret)
     return _join_planes(out_lo, out_hi)
@@ -449,23 +497,23 @@ def rp64_hash_rows_pallas(rows, interpret: bool = False):
 
 @partial(jax.jit, static_argnums=(4,))
 def _merge_rows_call(l_lo, l_hi, r_lo, r_hi, interpret: bool):
-    _, m = l_lo.shape
-    blk = min(_LANE_BLOCK, m)
-    spec = pl.BlockSpec((4, blk), lambda i: (0, i))
+    _, _, lanes = l_lo.shape
+    blk = min(_LANE_BLOCK, lanes)
+    spec = pl.BlockSpec((4, 8, blk), lambda i: (0 * i, 0 * i, i))
     return pl.pallas_call(
         _merge_rows_kernel,
-        grid=(m // blk,),
-        in_specs=[spec, spec, spec, spec] + _ark_specs(),
+        grid=(lanes // blk,),
+        in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((4, m), jnp.uint32),
-                   jax.ShapeDtypeStruct((4, m), jnp.uint32)),
+        out_shape=(jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32),
+                   jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32)),
         interpret=interpret,
-    )(l_lo, l_hi, r_lo, r_hi, *_ark_args())
+    )(l_lo, l_hi, r_lo, r_hi)
 
 
 def rp64_merge_rows_pallas(left, right, interpret: bool = False):
     """merge of digest pairs: (m, 4), (m, 4) → (m, 4). Drop-in for
-    gl.rp64_merge_rows; m must be a multiple of 128."""
+    gl.rp64_merge_rows; m must be a multiple of 1024 on TPU."""
     l_lo, l_hi = _split_planes(left)
     r_lo, r_hi = _split_planes(right)
     out_lo, out_hi = _merge_rows_call(l_lo, l_hi, r_lo, r_hi, interpret)

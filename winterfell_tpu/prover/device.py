@@ -90,10 +90,22 @@ def _to_flat(arr):
     return jnp.concatenate(parts)
 
 
+def _flat_take(flat, word_idx: np.ndarray) -> np.ndarray:
+    """Gather words from a 1-D device array at host-computed indexes, padded
+    to the next power of two so distinct index COUNTS reuse the same
+    compiled gather (variable lengths would compile one program per count)."""
+    k = word_idx.shape[0]
+    cap = 1
+    while cap < k:
+        cap *= 2
+    padded = np.concatenate(
+        [word_idx, np.full(cap - k, word_idx[0], dtype=np.int64)])
+    out = np.asarray(jnp.take(flat, jnp.asarray(padded), axis=0))
+    return out[:k]
+
+
 def _padded_take(arr, indexes):
-    """Gather rows at python-int indexes, padding the index vector to the
-    next power of two so distinct index COUNTS reuse the same compiled
-    gather (variable lengths would compile one program per count).
+    """Gather rows at python-int indexes (pow2-padded shared gathers).
 
     The gather runs over a flattened 1-D view with host-computed word
     indexes: gathering rows of a narrow (n, w) operand makes XLA copy it
@@ -104,13 +116,8 @@ def _padded_take(arr, indexes):
     rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
     word_idx = (np.asarray(indexes, dtype=np.int64)[:, None] * rw
                 + np.arange(rw, dtype=np.int64)[None, :]).reshape(-1)
-    cap = 1
-    while cap < k * rw:
-        cap *= 2
-    padded = np.concatenate(
-        [word_idx, np.full(cap - k * rw, word_idx[0], dtype=np.int64)])
-    rows = np.asarray(jnp.take(_to_flat(arr), jnp.asarray(padded), axis=0))
-    return rows[: k * rw].reshape((k,) + row_shape)
+    rows = _flat_take(_to_flat(arr), word_idx)
+    return rows.reshape((k,) + row_shape)
 
 
 # every XLA program — even a one-row gather — costs a slow remote compile on
@@ -118,6 +125,12 @@ def _padded_take(arr, indexes):
 # reads therefore pull whole arrays once (cached on the view) below this row
 # count, and use a pow2-padded gather only for the few largest arrays.
 _PULL_THRESHOLD = 1 << 16
+
+# trees at or below this leaf count keep a single flat copy of all internal
+# levels for one-gather batch node fetches; above it the extra residency
+# (32 B/leaf) and the flatten relayout temps matter more than roundtrips,
+# so fetches fall back to per-level gathers/pulls
+_HEAP_FLAT_LIMIT = 1 << 22
 
 
 class _DigestView:
@@ -178,7 +191,8 @@ class _HeapNodesView:
     level sizes repeat across the trace/constraint/FRI trees of one proof, so
     the handful of per-level-size gather programs is shared."""
 
-    __slots__ = ("levels", "_n", "_w", "_host_levels", "_wdtype", "_nbytes")
+    __slots__ = ("levels", "_n", "_w", "_host_levels", "_wdtype", "_nbytes",
+                 "_flat")
 
     def __init__(self, levels: dict, num_leaves: int,
                  nbytes: Optional[int] = None):
@@ -189,6 +203,7 @@ class _HeapNodesView:
         self._host_levels = {}
         self._wdtype = "<u4" if first.dtype == np.uint32 else "<u8"
         self._nbytes = nbytes
+        self._flat = None
 
     def __len__(self) -> int:
         return self._n
@@ -201,8 +216,28 @@ class _HeapNodesView:
             self._host_levels[size] = lvl
         return lvl
 
+    def _flat_nodes(self):
+        """All internal levels as ONE flat device vector, ascending level
+        sizes: heap node i lands at word (i − 1)·w. Built lazily by 1-D
+        per-level flattens (shared _reshape_flat programs, slab-bounded
+        relayout temps) + one 1-D concatenate — so a batch node fetch is a
+        single device gather + single transfer, instead of one whole-level
+        transfer per small level and one gather per big level (each
+        roundtrip on the remote tunnel costs ~10-30 ms, and the Octopus
+        proof pass touches every level)."""
+        if self._flat is None:
+            self._flat = jnp.concatenate(
+                [_to_flat(self.levels[s]) for s in sorted(self.levels)])
+        return self._flat
+
     def _take_nodes(self, nodes) -> np.ndarray:
         w = self._w
+        if self._n <= _HEAP_FLAT_LIMIT and len(nodes) > 4:
+            word_idx = ((np.asarray(nodes, dtype=np.int64) - 1)[:, None] * w
+                        + np.arange(w, dtype=np.int64)).reshape(-1)
+            rows = _flat_take(self._flat_nodes(), word_idx)
+            return np.ascontiguousarray(
+                rows.reshape(len(nodes), w).astype(self._wdtype))
         out = np.empty((len(nodes), w), dtype=self._wdtype)
         by_size = {}
         for k, i in enumerate(nodes):
