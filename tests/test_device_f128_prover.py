@@ -130,3 +130,20 @@ def test_lamport_aggregate_device_matches_host():
     assert dev.to_bytes() == host.to_bytes()
     verify(LamportAggregateAir, dev,
            LamportPublicInputs(tuple(pub_keys), tuple(messages)), Blake3_256)
+
+
+def test_fib_device_huge_domain_split_matches_host(monkeypatch):
+    """Force the huge-domain code paths (per-column LDE above _FUSE_LIMIT,
+    slabbed DEEP combine above _DEEP_SLAB_LIMB, slabbed row hashing) at a
+    CPU-testable size: proof bytes must stay identical to the host prover."""
+    from winterfell_tpu.prover import device_limb
+
+    monkeypatch.setattr(device_limb, "_FUSE_LIMIT", 1)
+    monkeypatch.setattr(device_limb, "_DEEP_SLAB_LIMB", 256)
+    monkeypatch.setattr(device_limb, "_HASH_SLAB", 512)
+
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)

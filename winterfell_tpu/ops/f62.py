@@ -54,14 +54,14 @@ NUM_LIMBS = 2
 
 
 def to_limbs_np(arr_obj: np.ndarray) -> np.ndarray:
-    """Object array of ints -> uint64 limb array with trailing axis 2."""
+    """Object array of ints -> uint64 limb array with trailing axis 2.
+
+    One object-array astype pass (f62 values fit u64) + native u32 split —
+    far faster than a per-element Python loop."""
+    v = arr_obj.astype(np.uint64)
     out = np.empty(arr_obj.shape + (NUM_LIMBS,), dtype=np.uint64)
-    flat_in = arr_obj.reshape(-1)
-    flat_out = out.reshape(-1, NUM_LIMBS)
-    for i, v in enumerate(flat_in):
-        v = int(v)
-        flat_out[i, 0] = v & 0xFFFFFFFF
-        flat_out[i, 1] = (v >> 32) & 0xFFFFFFFF
+    out[..., 0] = v & np.uint64(0xFFFFFFFF)
+    out[..., 1] = v >> np.uint64(32)
     return out
 
 

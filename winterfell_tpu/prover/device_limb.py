@@ -245,6 +245,21 @@ def _hash_lde_rows(lde, psize: int, digest_words: int, hash_fn, wpe: int,
     return jnp.concatenate(parts, axis=0)
 
 
+def _lde_per_column(polys, n: int, offset: int, blowup: int, eng):
+    """Huge-domain LDE one column at a time: the limb-engine NTT butterfly
+    materializes ~16 full-size partial-product temporaries per mul, so a
+    whole-matrix 2^22-point f128 NTT alone wants several GB of HLO temps.
+    Per-column runs shrink them by the width (and share one compiled
+    program across columns)."""
+    w = polys.shape[1]
+    if w == 1:
+        return eng.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    parts = [
+        eng.ntt_evaluate_with_offset(polys[:, c : c + 1], n, offset, blowup)
+        for c in range(w)]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
                      digest_words: int, hash_fn, eng,
                      combine=_combine_words):
@@ -256,7 +271,7 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
                                       n, blowup, psize, digest_words, hash_fn,
                                       eng, combine)
     polys = eng.ntt_interpolate(matrix, n)
-    lde = eng.ntt_evaluate_with_offset(polys, n, offset, blowup)
+    lde = _lde_per_column(polys, n, offset, blowup, eng)
     leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS,
                             combine)
     return polys, lde, leaves
@@ -302,7 +317,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
             digest_words, hash_fn, eng, combine)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n, eng)
-    lde = eng.ntt_evaluate_with_offset(comp_columns, n, offset, blowup)
+    lde = _lde_per_column(comp_columns, n, offset, blowup, eng)
     leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS,
                             combine)
     return comp_columns, lde, leaves
@@ -320,6 +335,27 @@ def _fri_layer_commit(evaluations, n_fold: int, digest_words: int, hash_fn,
     words = transposed.astype(jnp.uint32).reshape(rows, -1)
     leaves = hash_fn(words, 4 * words.shape[1], digest_words)
     return transposed, leaves
+
+
+# above this LDE size the DEEP composition runs as a whole-array numerator
+# accumulation + row-slabbed inversion/combine programs (see _deep_evaluations)
+_DEEP_SLAB_LIMB = 1 << 21
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _deep_combine_limb(comp_z, comp_gz, z_arr, zg_arr, xs, eng):
+    """Per-slab DEEP divide-and-combine: (num - adj)/(x - z) terms with one
+    paired inversion (prover/src/composer/mod.rs DEEP combine)."""
+    d = comp_z.shape[1]
+    xs_ext = jnp.pad(xs[:, None, :], ((0, 0), (0, d - 1), (0, 0)))
+    den_z = eng.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
+    den_gz = eng.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
+    inv_prod = eng.ext_inv(eng.ext_mul(den_z, den_gz))
+    inv_z = eng.ext_mul(inv_prod, den_gz)
+    inv_gz = eng.ext_mul(inv_prod, den_z)
+    return eng.ext_add(
+        eng.ext_mul(comp_z, inv_z),
+        eng.ext_mul(comp_gz, inv_gz))
 
 
 # ================================================================================
@@ -366,10 +402,14 @@ class LimbFieldProver(Prover):
 
         # 1 ----- trace commitment ------------------------------------------
         main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
+        main_dev.block_until_ready()
+        phases.mark("commit_main_upload")
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1), dw,
             hash_fn, eng, combine)
+        leaves.block_until_ready()
+        phases.mark("commit_main_lde_hash")
         main_tree = self._make_tree(leaves)
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
@@ -478,6 +518,7 @@ class LimbFieldProver(Prover):
                 FriProofLayer.new(ext, query_values, batch_proof.to_bytes()))
             domain_size //= n_fold
         fri_proof = FriProof.new(ext, proof_layers, remainder_poly, 1)
+        phases.mark("queries_fri_layers")
 
         base_field = Field(air.base, 1)
         trace_queries = [self._query(main_tree, main_lde, query_positions,
@@ -487,6 +528,7 @@ class LimbFieldProver(Prover):
                                              query_positions, ext, d))
         constraint_queries = self._query(comp_tree, comp_lde, query_positions,
                                          ext, d)
+        phases.mark("queries_trace_and_constraints")
 
         proof = channel.build_proof(
             trace_queries, constraint_queries, fri_proof, len(query_positions))
@@ -793,10 +835,74 @@ class LimbFieldProver(Prover):
         z_arr = eng.to_device(np.array([list(z)], dtype=object))
         zg_arr = eng.to_device(np.array([list(zg)], dtype=object))
 
-        fn = self._get_deep_fn(
-            d, lde_size, aux_width=0 if aux_lde is None else aux_lde.shape[1])
-        return fn(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
-                  z_arr, zg_arr, xs)
+        aux_width = 0 if aux_lde is None else aux_lde.shape[1]
+        if lde_size <= _DEEP_SLAB_LIMB:
+            fn = self._get_deep_fn(d, lde_size, aux_width)
+            return fn(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz,
+                      z_arr, zg_arr, xs)
+        # huge domains: accumulate the numerators whole-array (cheap temps),
+        # run the extension-inversion combine in row slabs — the f128 Fermat
+        # inversion chain (~127 sqr/mul steps) otherwise wants GBs of
+        # full-domain HLO temporaries (same rule as prover/device.py _DEEP_SLAB)
+        acc = self._get_deep_acc_fn(d, lde_size, aux_width)
+        comp_z, comp_gz = acc(main_lde, aux_lde, comp_lde, cc_arr, adj_z,
+                              adj_gz)
+        S = _DEEP_SLAB_LIMB
+        parts = [
+            _deep_combine_limb(comp_z[i : i + S], comp_gz[i : i + S],
+                               z_arr, zg_arr, xs[i : i + S], eng)
+            for i in range(0, lde_size, S)]
+        return jnp.concatenate(parts, axis=0)
+
+    def _get_deep_acc_fn(self, d: int, lde_size: int, aux_width: int):
+        """Numerator accumulation only (comp_z, comp_gz) — the huge-domain
+        half of the DEEP split. Mirrors the first part of ``_get_deep_fn``,
+        which is kept intact so <=_DEEP_SLAB_LIMB sizes keep their cached
+        fused executables."""
+        eng = type(self).engine
+        NL = eng.NUM_LIMBS
+        key = ("acc", d, lde_size, aux_width)
+        cache = getattr(self, "_deep_cache", None)
+        if cache is None:
+            cache = self._deep_cache = {}
+        if key in cache:
+            return cache[key]
+
+        def accumulate(main_lde, aux_lde, comp_lde, cc_arr, adj_z, adj_gz):
+            comp_z = jnp.zeros((lde_size, d, NL), dtype=jnp.uint64)
+            comp_gz = jnp.zeros((lde_size, d, NL), dtype=jnp.uint64)
+            idx = 0
+
+            def add_term(term, idx):
+                nonlocal comp_z, comp_gz
+                comp_z = eng.ext_add(comp_z, eng.ext_sub(
+                    term, jnp.broadcast_to(adj_z[idx][None], term.shape)))
+                comp_gz = eng.ext_add(comp_gz, eng.ext_sub(
+                    term, jnp.broadcast_to(adj_gz[idx][None], term.shape)))
+
+            for c in range(main_lde.shape[1]):
+                add_term(
+                    eng.base_mul(main_lde[:, c : c + 1, :], cc_arr[idx][None]),
+                    idx)
+                idx += 1
+            if aux_lde is not None:
+                for c in range(aux_lde.shape[1]):
+                    add_term(eng.ext_mul(
+                        aux_lde[:, c],
+                        jnp.broadcast_to(cc_arr[idx][None],
+                                         aux_lde[:, c].shape)), idx)
+                    idx += 1
+            for j in range(comp_lde.shape[1]):
+                add_term(eng.ext_mul(
+                    comp_lde[:, j],
+                    jnp.broadcast_to(cc_arr[idx][None],
+                                     comp_lde[:, j].shape)), idx)
+                idx += 1
+            return comp_z, comp_gz
+
+        fn = jax.jit(accumulate)
+        cache[key] = fn
+        return fn
 
     def _get_deep_fn(self, d: int, lde_size: int, aux_width: int):
         eng = type(self).engine
