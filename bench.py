@@ -99,9 +99,7 @@ def bench_rescue_f128(log2_len: int):
     from winterfell_tpu.examples.rescue import (
         RescueAir,
         RescueProver,
-        RescuePublicInputs,
         build_rescue_trace,
-        compute_hash_chain,
     )
     from winterfell_tpu.prover.device_f128 import F128Prover
     from winterfell_tpu.verifier import verify
@@ -115,8 +113,8 @@ def bench_rescue_f128(log2_len: int):
     )
     prover = F128Prover.accelerate(RescueProver)(options, Blake3_256)
     seed = (42, 43)
-    trace = build_rescue_trace(seed, chain)
-    pub = RescuePublicInputs(seed, compute_hash_chain(seed, chain))
+    trace = build_rescue_trace(seed, chain)  # native C builder
+    pub = prover.get_pub_inputs(trace)  # chain result = trace last row
 
     prover.prove(trace)  # warmup
 
@@ -143,8 +141,11 @@ def bench_rescue_f128(log2_len: int):
 
 
 def main() -> None:
-    # default = the flagship BASELINE.json metric (2^22-step f64 trace)
-    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "22"))
+    # Default 2^20: the biggest size whose warm-cache wall comfortably fits
+    # the driver's bench timeout (the 2^22 flagship runs ~915 s wall warm —
+    # executable LOADS dominate; see CLAUDE.md). The recorded flagship
+    # 2^22 numbers live in README.md + .tpu_logs/bench_22*.json.
+    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "20"))
     workload = os.environ.get("BENCH_WORKLOAD", "fib")
 
     # first compile over the remote-compile tunnel is slow (30-120 s per
@@ -156,10 +157,9 @@ def main() -> None:
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from winterfell_tpu.utils import compile_cache
+
+    compile_cache.enable(os.path.dirname(os.path.abspath(__file__)))
 
     if workload == "rescue_f128":
         info, spans, lde, ntt_cols, dt = bench_rescue_f128(log2_len)

@@ -189,6 +189,65 @@ void wt_f128_scale_powers(u64 *raw, size_t n, size_t w, const u64 s_limbs[2],
     }
 }
 
+/* ---- Rescue-Prime (width 4) trace generation -----------------------------
+ *
+ * Native builder for the reference's headline benchmark computation
+ * (examples/src/rescue/prover.rs build_trace): a chain of `iterations`
+ * Rescue hashes, 16 trace rows per hash (14 rounds + 2 copy steps). The
+ * chain is inherently serial (each hash seeds the next); the win over the
+ * Python builder is the ~100x faster per-element f128 pow.
+ *
+ * Output rows are (lo, hi) u64 pairs — on a little-endian host they view
+ * directly as the device engine's 32-bit limb layout, so the device prover
+ * uploads the trace without materializing Python ints.
+ */
+
+static void rescue128_mds(const f128 mds[16], f128 st[4]) {
+    f128 out[4];
+    for (int i = 0; i < 4; i++) {
+        f128 acc = f128_mul(mds[i * 4], st[0]);
+        for (int j = 1; j < 4; j++)
+            acc = f128_add(acc, f128_mul(mds[i * 4 + j], st[j]));
+        out[i] = acc;
+    }
+    memcpy(st, out, sizeof out);
+}
+
+void wt_rescue128_trace(const u64 *seed /* 2 elems x (lo,hi) */,
+                        size_t iterations, const u64 *mds_raw /* 16 x 2 */,
+                        const u64 *ark_raw /* 16 x 8 x 2 */,
+                        const u64 inv_alpha[2], u64 *out /* n x 4 x 2 */) {
+    const f128 *mds = (const f128 *)mds_raw;
+    const f128 *ark = (const f128 *)ark_raw;
+    u128 ia = (((u128)inv_alpha[1]) << 64) | inv_alpha[0];
+    f128 *rows = (f128 *)out;
+    size_t n = iterations * 16;
+    f128 st[4] = {{seed[0], seed[1]}, {seed[2], seed[3]}, {0, 0}, {0, 0}};
+    memcpy(rows, st, sizeof st);
+    for (size_t step = 0; step + 1 < n; step++) {
+        size_t r = step & 15;
+        if (r < 14) { /* apply_round(state, step) */
+            const f128 *k = &ark[r * 8];
+            for (int i = 0; i < 4; i++) { /* sbox: x^3 */
+                f128 sq = f128_mul(st[i], st[i]);
+                st[i] = f128_mul(sq, st[i]);
+            }
+            rescue128_mds(mds, st);
+            for (int i = 0; i < 4; i++)
+                st[i] = f128_add(st[i], k[i]);
+            for (int i = 0; i < 4; i++) /* inv-sbox: x^INV_ALPHA */
+                st[i] = f128_pow(st[i], ia);
+            rescue128_mds(mds, st);
+            for (int i = 0; i < 4; i++)
+                st[i] = f128_add(st[i], k[4 + i]);
+        } else { /* copy step */
+            st[2] = (f128){0, 0};
+            st[3] = (f128){0, 0};
+        }
+        memcpy(&rows[(step + 1) * 4], st, sizeof st);
+    }
+}
+
 /* batch modular ops used by hot host paths: out = a*b mod p, elementwise */
 void wt_f128_mul_arrays(const u64 *a, const u64 *b, u64 *out, size_t count) {
     const f128 *fa = (const f128 *)a;

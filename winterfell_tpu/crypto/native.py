@@ -30,11 +30,22 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for src in ("blake3.c", "f128.c"):
+        path = os.path.join(_NATIVE_DIR, src)
+        if os.path.exists(path) and os.path.getmtime(path) > so_mtime:
+            return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if _stale() and not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -51,6 +62,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.wt_f128_scale_powers.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                              ctypes.c_size_t, _u64x2, _u64x2]
         lib.wt_f128_scale_powers.restype = None
+        lib.wt_rescue128_trace.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, _u64x2, ctypes.c_void_p]
+        lib.wt_rescue128_trace.restype = None
         _lib = lib
         return lib
     except OSError:
@@ -102,3 +117,35 @@ def f128_scale_powers(limbs, n: int, w: int, s: int, scale: int) -> None:
     assert lib is not None
     lib.wt_f128_scale_powers(limbs.ctypes.data, n, w, _u64_pair(s),
                              _u64_pair(scale))
+
+
+def _pairs_np(values) -> "np.ndarray":
+    import numpy as np
+
+    m = 0xFFFFFFFFFFFFFFFF
+    flat = [int(v) for v in values]
+    out = np.empty((len(flat), 2), dtype=np.uint64)
+    for i, v in enumerate(flat):
+        out[i, 0] = v & m
+        out[i, 1] = v >> 64
+    return out
+
+
+def rescue128_trace(seed, iterations: int, mds, ark, inv_alpha: int):
+    """Native Rescue-128 hash-chain trace: returns a (16*iterations, 4, 2)
+    uint64 array of (lo, hi) element pairs (native/f128.c
+    wt_rescue128_trace). ``mds`` is the flat 16-entry MDS matrix and ``ark``
+    the 16x8 round-constant schedule, as Python ints."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    n = 16 * iterations
+    out = np.empty((n, 4, 2), dtype=np.uint64)
+    seed_arr = np.ascontiguousarray(_pairs_np(seed))
+    mds_arr = np.ascontiguousarray(_pairs_np(mds))
+    ark_arr = np.ascontiguousarray(_pairs_np([v for row in ark for v in row]))
+    lib.wt_rescue128_trace(seed_arr.ctypes.data, iterations,
+                           mds_arr.ctypes.data, ark_arr.ctypes.data,
+                           _u64_pair(inv_alpha), out.ctypes.data)
+    return out

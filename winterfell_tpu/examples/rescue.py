@@ -67,9 +67,20 @@ def compute_hash_chain(seed: Tuple[int, int], chain_length: int) -> Tuple[int, i
 
 
 def build_rescue_trace(seed: Tuple[int, int], iterations: int) -> TraceTable:
-    """(examples/src/rescue/prover.rs build_trace)."""
+    """(examples/src/rescue/prover.rs build_trace). Uses the native C chain
+    builder when the toolchain is available (~100x the Python object-int
+    path — the chain is serial, so per-element pow speed is everything);
+    the resulting u64-pair rows upload to the device prover as a pure
+    dtype view. tests/test_native.py pins the two builders together."""
     trace_length = iterations * CYCLE_LENGTH
     trace = TraceTable(F128, TRACE_WIDTH, trace_length)
+
+    from ..crypto import native
+
+    if native.available():
+        rows = native.rescue128_trace(seed, iterations, MDS, ARK, INV_ALPHA)
+        trace.set_native_rows(rows)
+        return trace
 
     def init(state):
         state[0], state[1], state[2], state[3] = seed[0], seed[1], 0, 0

@@ -73,6 +73,14 @@ def to_device(arr_obj: np.ndarray):
     return jnp.asarray(to_limbs_np(arr_obj))
 
 
+def to_device_native(rows: np.ndarray):
+    """Native trace rows — (..., 2) little-endian u64 (lo, hi) pairs — to the
+    device limb layout. A pure dtype view: no Python-int materialization."""
+    v = np.ascontiguousarray(rows).view(np.uint32)
+    v = v.reshape(rows.shape[:-1] + (NUM_LIMBS,))
+    return jnp.asarray(v.astype(np.uint64))
+
+
 def from_limbs_np(limbs: np.ndarray) -> np.ndarray:
     """uint64 limb array (..., 4) -> object array of Python ints."""
     limbs = np.asarray(limbs)

@@ -342,7 +342,16 @@ def _ntt_core(x, n: int, inverse: bool, plan):
 
     m = x.reshape((b, a) + rest)
     y = _ntt_core(m, b, inverse, inner_plan)  # (b, a, ...)
-    y = gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
+    R = int(np.prod(rest, dtype=np.int64)) if rest else 1
+    if R > 1:
+        # dense-minor twiddle multiply: expanding the (b, a) matrix across
+        # the batch width keeps the lanes full (vs broadcasting over a
+        # narrow trailing axis); one extra same-size HBM array, one pass
+        tw_flat = jnp.broadcast_to(mid_tw[:, :, None], (b, a, R))
+        y = gl_mul(y.reshape(b, a * R),
+                   tw_flat.reshape(b, a * R)).reshape((b, a) + rest)
+    else:
+        y = gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
 
     z = jnp.swapaxes(y, 0, 1)  # (a, b, ...)
     out = _ntt_core(z, a, inverse, outer_plan)
@@ -363,19 +372,33 @@ def _stage_twiddles_small(n: int, inverse: bool):
 
 
 def _ntt_small(x, n: int, inverse: bool):
-    """Classic unrolled radix-2 DIT, constant twiddles, natural in/out."""
+    """Classic unrolled radix-2 DIT, constant twiddles, natural in/out.
+
+    The batch dims are flattened into ONE trailing axis before the stage
+    loop: TPU tiles the last two dims as (8 sublanes, 128 lanes), so a
+    narrow trailing axis (e.g. a width-2 trace) would waste 98% of the
+    VPU's lanes. With the flattened batch minor — e.g. the six-step's
+    (a, w) sibling factor, ~2^11 wide — every butterfly op runs dense;
+    only the first three stages pad sublanes (half < 8)."""
     rest = x.shape[1:]
+    R = int(np.prod(rest, dtype=np.int64)) if rest else 1
+    if rest:
+        x = x.reshape(n, R)
     x = x[jnp.asarray(_bitrev_perm(n))]
     for tw_np in _stage_twiddles_small(n, inverse):
         half = tw_np.shape[0]
         mm = 2 * half
-        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest))
-        blk = x.reshape((n // mm, 2, half) + rest)
+        if rest:
+            tw = jnp.asarray(tw_np).reshape(1, half, 1)
+            blk = x.reshape(n // mm, 2, half, R)
+        else:
+            tw = jnp.asarray(tw_np).reshape(1, half)
+            blk = x.reshape(n // mm, 2, half)
         u = blk[:, 0]
         v = gl_mul(blk[:, 1], tw)
         x = jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=1)
-        x = x.reshape((n,) + rest)
-    return x
+        x = x.reshape((n, R) if rest else (n,))
+    return x.reshape((n,) + rest)
 
 
 @lru_cache(maxsize=None)

@@ -401,7 +401,13 @@ class LimbFieldProver(Prover):
         part = air.options.partition_options
 
         # 1 ----- trace commitment ------------------------------------------
-        main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
+        native_rows = trace.native_rows() if hasattr(trace, "native_rows") \
+            else None
+        if native_rows is not None and hasattr(eng, "to_device_native") \
+                and native_rows.ndim == 3:
+            main_dev = eng.to_device_native(native_rows)  # (n, w, L) via view
+        else:
+            main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
         main_dev.block_until_ready()
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]

@@ -100,7 +100,44 @@ class TraceTable(Trace):
         )
         self.base = base
         self._info = TraceInfo(width, length, meta=meta)
-        self.data = np.zeros((length, width), dtype=object)
+        self._data: Optional[np.ndarray] = np.zeros((length, width),
+                                                    dtype=object)
+        self._native: Optional[np.ndarray] = None
+
+    # -- native backing ------------------------------------------------------
+    #
+    # Trace builders with a native generator (e.g. the C Rescue chain in
+    # native/f128.c) store rows as a uint64 limb array instead of Python
+    # ints: (n, w) for <=64-bit fields, (n, w, 2) little-endian (lo, hi)
+    # pairs for f128. Device provers upload this directly (a pure dtype
+    # view); the object-array view for the host prover is materialized
+    # lazily on first access.
+
+    def set_native_rows(self, arr: np.ndarray) -> None:
+        assert arr.shape[0] == self._info.length
+        assert arr.shape[1] == self._info.main_segment_width
+        self._native = arr
+        self._data = None
+
+    def native_rows(self) -> Optional[np.ndarray]:
+        return self._native
+
+    @property
+    def data(self) -> np.ndarray:
+        if self._data is None:
+            nat = self._native
+            if nat.ndim == 3:  # (n, w, 2) u64 pairs
+                obj = nat[..., 0].astype(object) + (
+                    nat[..., 1].astype(object) << 64)
+            else:
+                obj = nat.astype(object)
+            self._data = obj
+        return self._data
+
+    @data.setter
+    def data(self, value: np.ndarray) -> None:
+        self._data = value
+        self._native = None
 
     # -- construction (trace_table.rs:81-252) -------------------------------
 
@@ -135,6 +172,11 @@ class TraceTable(Trace):
         self.data[step, column] = value % self.base.p
 
     def get(self, column: int, step: int) -> int:
+        if self._data is None:  # avoid materializing for point reads
+            nat = self._native[step, column]
+            if nat.ndim:  # (2,) u64 pair
+                return int(nat[0]) | (int(nat[1]) << 64)
+            return int(nat)
         return int(self.data[step, column])
 
     # -- accessors ----------------------------------------------------------
