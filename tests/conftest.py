@@ -16,5 +16,14 @@ try:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # CPU-compile cache (separate from the TPU .jax_cache): the limb-engine
+    # byte-pin tests compile dozens of XLA programs each — cold they take
+    # ~40+ min suite-wide, warm re-runs drop to minutes. Machine-specific,
+    # so the directory is gitignored.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except ImportError:  # host-only layers do not need jax
     pass

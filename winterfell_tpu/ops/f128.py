@@ -293,6 +293,45 @@ def f128_inv(a):
     return jax.lax.fori_loop(0, 128, body, one)
 
 
+_BATCH_INV_G = 128
+
+
+def f128_batch_inv(a):
+    """Montgomery batch inversion over limb arrays (..., 4): prefix/suffix
+    product scans over blocks of 128 + one Fermat chain on block totals —
+    ~6 multiplies/element instead of f128_inv's ~190. Value-identical to
+    f128_inv for every input including zeros (masked to 1 for the scan)."""
+    shape = a.shape
+    flat = a.reshape(-1, NUM_LIMBS)
+    n = flat.shape[0]
+    if n < 2 * _BATCH_INV_G:
+        return f128_inv(a)
+    pad = (-n) % _BATCH_INV_G
+    one_row = np.zeros((1, NUM_LIMBS), dtype=np.uint64)
+    one_row[0, 0] = 1
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(jnp.asarray(one_row),
+                                    (pad, NUM_LIMBS))])
+    is_zero = jnp.all(flat == 0, axis=-1, keepdims=True)
+    az = jnp.where(is_zero, jnp.asarray(one_row), flat)
+    az = az.reshape(-1, _BATCH_INV_G, NUM_LIMBS)
+    pref = jax.lax.associative_scan(f128_mul, az, axis=1)
+    suff = jax.lax.associative_scan(f128_mul, az, axis=1, reverse=True)
+    tinv = f128_inv(pref[:, -1])
+    ones_col = jnp.broadcast_to(jnp.asarray(one_row)[None],
+                                (az.shape[0], 1, NUM_LIMBS))
+    pprev = jnp.concatenate([ones_col, pref[:, :-1]], axis=1)
+    snext = jnp.concatenate([suff[:, 1:], ones_col], axis=1)
+    inv = f128_mul(f128_mul(pprev, snext),
+                   jnp.broadcast_to(tinv[:, None], pprev.shape))
+    inv = inv.reshape(-1, NUM_LIMBS)
+    inv = jnp.where(is_zero, jnp.uint64(0), inv)
+    if pad:
+        inv = inv[:n]
+    return inv.reshape(shape)
+
+
 # ================================================================================
 # Quadratic extension: arrays (..., d, 4), d in {1, 2}; x² = x + 1
 # (math/src/field/f128/mod.rs:264-287)
@@ -343,6 +382,18 @@ def ext_inv(a):
     conj = ext_frobenius(a)
     norm = ext_mul(a, conj)[..., 0, :]  # lands in the base field
     ninv = f128_inv(norm)
+    return f128_mul(conj, ninv[..., None, :])
+
+
+def ext_batch_inv(a):
+    """ext_inv with the norm inverted via f128_batch_inv (domain-sized
+    arrays, e.g. the DEEP denominators)."""
+    d = a.shape[-2]
+    if d == 1:
+        return f128_batch_inv(a)
+    conj = ext_frobenius(a)
+    norm = ext_mul(a, conj)[..., 0, :]
+    ninv = f128_batch_inv(norm)
     return f128_mul(conj, ninv[..., None, :])
 
 

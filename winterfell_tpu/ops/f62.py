@@ -340,6 +340,55 @@ def ext_inv(a):
     return base_mul(conj, ninv[..., None, :])
 
 
+_BATCH_INV_G = 128
+
+
+def base_batch_inv(a):
+    """Montgomery batch inversion over (..., 2) limb arrays — scan-based,
+    ~6 muls/element vs base_inv's ~90; value-identical incl. zeros (see
+    ops/f128.py:f128_batch_inv)."""
+    shape = a.shape
+    flat = a.reshape(-1, NUM_LIMBS)
+    n = flat.shape[0]
+    if n < 2 * _BATCH_INV_G:
+        return base_inv(a)
+    pad = (-n) % _BATCH_INV_G
+    one_row = np.zeros((1, NUM_LIMBS), dtype=np.uint64)
+    one_row[0, 0] = 1
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(jnp.asarray(one_row), (pad, NUM_LIMBS))])
+    is_zero = jnp.all(flat == 0, axis=-1, keepdims=True)
+    az = jnp.where(is_zero, jnp.asarray(one_row), flat)
+    az = az.reshape(-1, _BATCH_INV_G, NUM_LIMBS)
+    pref = jax.lax.associative_scan(base_mul, az, axis=1)
+    suff = jax.lax.associative_scan(base_mul, az, axis=1, reverse=True)
+    tinv = base_inv(pref[:, -1])
+    ones_col = jnp.broadcast_to(jnp.asarray(one_row)[None],
+                                (az.shape[0], 1, NUM_LIMBS))
+    pprev = jnp.concatenate([ones_col, pref[:, :-1]], axis=1)
+    snext = jnp.concatenate([suff[:, 1:], ones_col], axis=1)
+    inv = base_mul(base_mul(pprev, snext),
+                   jnp.broadcast_to(tinv[:, None], pprev.shape))
+    inv = inv.reshape(-1, NUM_LIMBS)
+    inv = jnp.where(is_zero, jnp.uint64(0), inv)
+    if pad:
+        inv = inv[:n]
+    return inv.reshape(shape)
+
+
+def ext_batch_inv(a):
+    """ext_inv with the norm inverted via base_batch_inv."""
+    d = a.shape[-2]
+    if d == 1:
+        return base_batch_inv(a)
+    conj = ext_frobenius(a)
+    if d == 3:
+        conj = ext_mul(conj, ext_frobenius(conj))
+    norm = ext_mul(a, conj)[..., 0, :]
+    return base_mul(conj, base_batch_inv(norm)[..., None, :])
+
+
 def ext_mul_base(a, s):
     """(..., d, 2) ext × base scalar limb array (..., 2)."""
     return base_mul(a, s[..., None, :])

@@ -342,16 +342,11 @@ def _ntt_core(x, n: int, inverse: bool, plan):
 
     m = x.reshape((b, a) + rest)
     y = _ntt_core(m, b, inverse, inner_plan)  # (b, a, ...)
-    R = int(np.prod(rest, dtype=np.int64)) if rest else 1
-    if R > 1:
-        # dense-minor twiddle multiply: expanding the (b, a) matrix across
-        # the batch width keeps the lanes full (vs broadcasting over a
-        # narrow trailing axis); one extra same-size HBM array, one pass
-        tw_flat = jnp.broadcast_to(mid_tw[:, :, None], (b, a, R))
-        y = gl_mul(y.reshape(b, a * R),
-                   tw_flat.reshape(b, a * R)).reshape((b, a) + rest)
-    else:
-        y = gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
+    # broadcasted elementwise multiply: XLA flattens pure-elementwise ops
+    # regardless of logical layout (measured, scripts/f64_layout_ab.py), so
+    # no lane-padding tax here; materializing an expanded twiddle array
+    # instead OOMed the fused 2^20 commit program
+    y = gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
 
     z = jnp.swapaxes(y, 0, 1)  # (a, b, ...)
     out = _ntt_core(z, a, inverse, outer_plan)
@@ -374,31 +369,24 @@ def _stage_twiddles_small(n: int, inverse: bool):
 def _ntt_small(x, n: int, inverse: bool):
     """Classic unrolled radix-2 DIT, constant twiddles, natural in/out.
 
-    The batch dims are flattened into ONE trailing axis before the stage
-    loop: TPU tiles the last two dims as (8 sublanes, 128 lanes), so a
-    narrow trailing axis (e.g. a width-2 trace) would waste 98% of the
-    VPU's lanes. With the flattened batch minor — e.g. the six-step's
-    (a, w) sibling factor, ~2^11 wide — every butterfly op runs dense;
-    only the first three stages pad sublanes (half < 8)."""
+    NOTE on layout: do NOT flatten the batch dims around the stage loop —
+    an explicit (n, prod(rest)) reshape pins a T(8,128) layout with the
+    narrow axis in the lanes (64x padding; an 8 GB HLO temp at 2^23 x 2),
+    while XLA's own layout propagation through the unflattened chain stays
+    within memory. Measured 2026-08-19; see scripts/f64_layout_ab.py for
+    the elementwise-flattening evidence."""
     rest = x.shape[1:]
-    R = int(np.prod(rest, dtype=np.int64)) if rest else 1
-    if rest:
-        x = x.reshape(n, R)
     x = x[jnp.asarray(_bitrev_perm(n))]
     for tw_np in _stage_twiddles_small(n, inverse):
         half = tw_np.shape[0]
         mm = 2 * half
-        if rest:
-            tw = jnp.asarray(tw_np).reshape(1, half, 1)
-            blk = x.reshape(n // mm, 2, half, R)
-        else:
-            tw = jnp.asarray(tw_np).reshape(1, half)
-            blk = x.reshape(n // mm, 2, half)
+        tw = jnp.asarray(tw_np).reshape((1, half) + (1,) * len(rest))
+        blk = x.reshape((n // mm, 2, half) + rest)
         u = blk[:, 0]
         v = gl_mul(blk[:, 1], tw)
         x = jnp.concatenate([gl_add(u, v), gl_sub(u, v)], axis=1)
-        x = x.reshape((n, R) if rest else (n,))
-    return x.reshape((n,) + rest)
+        x = x.reshape((n,) + rest)
+    return x
 
 
 @lru_cache(maxsize=None)
@@ -511,6 +499,58 @@ def gl_inv(a):
         return jnp.where(bits[i] == 1, gl_mul(acc, a), acc)
 
     return jax.lax.fori_loop(0, 64, body, jnp.ones_like(a))
+
+
+_BATCH_INV_G = 128  # scan-block width (one full lane tile)
+
+
+def gl_batch_inv(a):
+    """Montgomery batch inversion: prefix/suffix product scans over blocks of
+    128 + one Fermat chain on the block totals — ~6 multiplies per element
+    instead of gl_inv's ~96 (math/src/field/mod.rs batch_inversion is the
+    reference's serial equivalent). Value-identical to gl_inv for EVERY
+    input including zeros (zeros are masked to 1 for the scan and restored
+    after), so device/host byte-pins are unaffected."""
+    shape = a.shape
+    flat = a.reshape(-1)
+    n = flat.shape[0]
+    if n < 2 * _BATCH_INV_G:
+        return gl_inv(a)
+    pad = (-n) % _BATCH_INV_G
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.ones((pad,), dtype=jnp.uint64)])
+    is_zero = flat == 0
+    az = jnp.where(is_zero, jnp.uint64(1), flat).reshape(-1, _BATCH_INV_G)
+    pref = jax.lax.associative_scan(gl_mul, az, axis=1)
+    suff = jax.lax.associative_scan(gl_mul, az, axis=1, reverse=True)
+    tinv = gl_inv(pref[:, -1])  # one Fermat chain per 128 elements
+    ones_col = jnp.ones((az.shape[0], 1), dtype=jnp.uint64)
+    pprev = jnp.concatenate([ones_col, pref[:, :-1]], axis=1)
+    snext = jnp.concatenate([suff[:, 1:], ones_col], axis=1)
+    inv = gl_mul(gl_mul(pprev, snext), tinv[:, None]).reshape(-1)
+    inv = jnp.where(is_zero, jnp.uint64(0), inv)
+    if pad:
+        inv = inv[:n]
+    return inv.reshape(shape)
+
+
+def ext_batch_inv(a):
+    """ext_inv with the norm inverted via gl_batch_inv — for domain-sized
+    arrays (the DEEP denominators)."""
+    d = a.shape[-1]
+    if d == 1:
+        return gl_batch_inv(a)
+    if d == 2:
+        a0, a1 = a[..., 0], a[..., 1]
+        conj = jnp.stack([gl_add(a0, a1), gl_neg(a1)], axis=-1)
+        norm = ext_mul(a, conj)[..., 0]
+        return ext_mul_base(conj, gl_batch_inv(norm))
+    conj1 = ext_frobenius(a)
+    conj2 = ext_frobenius(conj1)
+    cc = ext_mul(conj1, conj2)
+    norm = ext_mul(a, cc)[..., 0]
+    return ext_mul_base(cc, gl_batch_inv(norm))
 
 
 def ext_inv(a):

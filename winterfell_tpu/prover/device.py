@@ -572,7 +572,7 @@ def _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs):
     xs_ext = jnp.pad(xs[:, None], ((0, 0), (0, d - 1)))
     den_z = gl.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
     den_gz = gl.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
-    inv_prod = gl.ext_inv(gl.ext_mul(den_z, den_gz))
+    inv_prod = gl.ext_batch_inv(gl.ext_mul(den_z, den_gz))
     inv_z = gl.ext_mul(inv_prod, den_gz)
     inv_gz = gl.ext_mul(inv_prod, den_z)
     return gl.ext_add(
@@ -1185,7 +1185,7 @@ class GoldilocksProver(Prover):
             den_gz = gl.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
             # one inversion instead of two (Montgomery pair trick):
             # 1/a = inv(ab)·b, 1/b = inv(ab)·a
-            inv_prod = gl.ext_inv(gl.ext_mul(den_z, den_gz))
+            inv_prod = gl.ext_batch_inv(gl.ext_mul(den_z, den_gz))
             inv_z = gl.ext_mul(inv_prod, den_gz)
             inv_gz = gl.ext_mul(inv_prod, den_z)
             return gl.ext_add(

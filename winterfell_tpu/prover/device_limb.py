@@ -350,7 +350,7 @@ def _deep_combine_limb(comp_z, comp_gz, z_arr, zg_arr, xs, eng):
     xs_ext = jnp.pad(xs[:, None, :], ((0, 0), (0, d - 1), (0, 0)))
     den_z = eng.ext_sub(xs_ext, jnp.broadcast_to(z_arr, xs_ext.shape))
     den_gz = eng.ext_sub(xs_ext, jnp.broadcast_to(zg_arr, xs_ext.shape))
-    inv_prod = eng.ext_inv(eng.ext_mul(den_z, den_gz))
+    inv_prod = eng.ext_batch_inv(eng.ext_mul(den_z, den_gz))
     inv_z = eng.ext_mul(inv_prod, den_gz)
     inv_gz = eng.ext_mul(inv_prod, den_z)
     return eng.ext_add(
@@ -958,7 +958,7 @@ class LimbFieldProver(Prover):
             den_gz = eng.ext_sub(xs_ext,
                                  jnp.broadcast_to(zg_arr, xs_ext.shape))
             # one inversion instead of two (Montgomery pair trick)
-            inv_prod = eng.ext_inv(eng.ext_mul(den_z, den_gz))
+            inv_prod = eng.ext_batch_inv(eng.ext_mul(den_z, den_gz))
             inv_z = eng.ext_mul(inv_prod, den_gz)
             inv_gz = eng.ext_mul(inv_prod, den_z)
             return eng.ext_add(
