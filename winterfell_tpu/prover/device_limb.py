@@ -145,16 +145,42 @@ def _ext_add_jit(a, b, eng):
 _EVAL_SLAB = 1 << 16
 
 
-def _eval_cols_at(polys, pows, eng):
-    """Slabbed OOD evaluation (field addition is exactly associative, so the
-    slab split cannot change the result)."""
+@partial(jax.jit, static_argnums=(2,))
+def _eval_cols_scan(polys, pows, eng):
+    """Slab loop as ONE program (lax.scan): same per-slab peak memory, but a
+    2^22-row trace costs 1 dispatch instead of 64 (each remote dispatch is
+    ~10-30 ms on the axon tunnel). Slab partials are added in the same
+    order as the old Python loop — field addition is exact, so the result
+    is bit-identical either way."""
     fn = _eval_cols_base if polys.ndim == 3 else _eval_cols_ext
     n = polys.shape[0]
-    acc = None
-    for i in range(0, n, _EVAL_SLAB):
-        part = fn(polys[i : i + _EVAL_SLAB], pows[i : i + _EVAL_SLAB], eng)
-        acc = part if acc is None else _ext_add_jit(acc, part, eng)
+    B = n // _EVAL_SLAB
+    pb = polys.reshape((B, _EVAL_SLAB) + polys.shape[1:])
+    wb = pows.reshape((B, _EVAL_SLAB) + pows.shape[1:])
+
+    def body(acc, xs):
+        pslab, wslab = xs
+        return eng.ext_add(acc, fn(pslab, wslab, eng)), None
+
+    k = polys.shape[1]
+    d = pows.shape[1]
+    acc0 = jnp.zeros((k, d, eng.NUM_LIMBS), dtype=jnp.uint64)
+    acc, _ = jax.lax.scan(body, acc0, (pb, wb))
     return acc
+
+
+def _eval_cols_at(polys, pows, eng):
+    """OOD evaluation, slabbed for memory (see _EVAL_SLAB)."""
+    n = polys.shape[0]
+    if n % _EVAL_SLAB or n == _EVAL_SLAB:
+        fn = _eval_cols_base if polys.ndim == 3 else _eval_cols_ext
+        acc = None
+        for i in range(0, n, _EVAL_SLAB):
+            part = fn(polys[i : i + _EVAL_SLAB], pows[i : i + _EVAL_SLAB],
+                      eng)
+            acc = part if acc is None else _ext_add_jit(acc, part, eng)
+        return acc
+    return _eval_cols_scan(polys, pows, eng)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
