@@ -483,6 +483,20 @@ def _hash_rows_split(rows_2d, psize: int):
 _HASH_SLAB = 1 << 21
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _hash_rows_scan(lde, psize: int):
+    """Slab loop as one lax.scan program: same per-slab peak memory, one
+    remote dispatch instead of m/_HASH_SLAB."""
+    m = lde.shape[0]
+    blocks = lde.reshape((m // _HASH_SLAB, _HASH_SLAB) + lde.shape[1:])
+
+    def body(_, slab):
+        return None, _hash_rows_part(slab.reshape(_HASH_SLAB, -1), psize)
+
+    _, parts = jax.lax.scan(body, None, blocks)
+    return parts.reshape(m, -1)
+
+
 def _hash_rows_slabbed(lde, psize: int):
     """Row-hash an (m, ...) LDE in slabs, flattening each slab's trailing
     dims as part of the slab program: a whole-array (m, k) reshape copy of a
@@ -490,6 +504,8 @@ def _hash_rows_slabbed(lde, psize: int):
     m = lde.shape[0]
     if m <= _HASH_SLAB:
         return _hash_rows_split(lde.reshape(m, -1), psize)
+    if m % _HASH_SLAB == 0:
+        return _hash_rows_scan(lde, psize)
     parts = [
         _hash_rows_split(lde[i : i + _HASH_SLAB].reshape(_HASH_SLAB, -1),
                          psize)
@@ -585,10 +601,27 @@ def _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs):
 _DEEP_SLAB = 1 << 22
 
 
+@jax.jit
+def _deep_combine_scan(comp_z, comp_gz, z_arr, zg_arr, xs):
+    n = comp_z.shape[0]
+    B = n // _DEEP_SLAB
+    shp = lambda a: a.reshape((B, _DEEP_SLAB) + a.shape[1:])
+
+    def body(_, slabs):
+        cz, cgz, x = slabs
+        return None, _deep_combine(cz, cgz, z_arr, zg_arr, x)
+
+    _, parts = jax.lax.scan(body, None, (shp(comp_z), shp(comp_gz), shp(xs)))
+    return parts.reshape((n,) + parts.shape[2:])
+
+
 def _deep_combine_slabbed(comp_z, comp_gz, z_arr, zg_arr, xs):
     n = comp_z.shape[0]
     if n <= _DEEP_SLAB:
         return _deep_combine(comp_z, comp_gz, z_arr, zg_arr, xs)
+    if n % _DEEP_SLAB == 0:
+        # one scanned program: per-slab peak memory, one remote dispatch
+        return _deep_combine_scan(comp_z, comp_gz, z_arr, zg_arr, xs)
     parts = [
         _deep_combine(comp_z[i : i + _DEEP_SLAB], comp_gz[i : i + _DEEP_SLAB],
                       z_arr, zg_arr, xs[i : i + _DEEP_SLAB])

@@ -257,12 +257,31 @@ def _hash_rows_split(words_2d, psize: int, digest_words: int, hash_fn,
 _HASH_SLAB = 1 << 21
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _hash_lde_rows_scan(lde, psize: int, digest_words: int, hash_fn,
+                        wpe: int, combine):
+    """Slab row-hashing as ONE scanned program (one remote dispatch)."""
+    m = lde.shape[0]
+    blocks = lde.reshape((m // _HASH_SLAB, _HASH_SLAB) + lde.shape[1:])
+
+    def body(_, slab):
+        words = slab.astype(jnp.uint32).reshape(_HASH_SLAB, -1)
+        return None, _hash_rows_words(words, 4 * words.shape[1], psize,
+                                      digest_words, hash_fn, wpe, combine)
+
+    _, parts = jax.lax.scan(body, None, blocks)
+    return parts.reshape(m, -1)
+
+
 def _hash_lde_rows(lde, psize: int, digest_words: int, hash_fn, wpe: int,
                    combine=_combine_words):
     m = lde.shape[0]
     if m <= _HASH_SLAB:
         return _hash_rows_split(lde.astype(jnp.uint32).reshape(m, -1),
                                 psize, digest_words, hash_fn, wpe, combine)
+    if m % _HASH_SLAB == 0:
+        return _hash_lde_rows_scan(lde, psize, digest_words, hash_fn, wpe,
+                                   combine)
     parts = [
         _hash_rows_split(
             lde[i : i + _HASH_SLAB].astype(jnp.uint32).reshape(_HASH_SLAB, -1),
@@ -366,6 +385,23 @@ def _fri_layer_commit(evaluations, n_fold: int, digest_words: int, hash_fn,
 # above this LDE size the DEEP composition runs as a whole-array numerator
 # accumulation + row-slabbed inversion/combine programs (see _deep_evaluations)
 _DEEP_SLAB_LIMB = 1 << 21
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _deep_combine_limb_scan(comp_z, comp_gz, z_arr, zg_arr, xs, eng):
+    """Huge-domain DEEP combine as ONE scanned program over _DEEP_SLAB_LIMB
+    row slabs (same peak memory as the per-slab dispatch loop, one remote
+    dispatch)."""
+    n = comp_z.shape[0]
+    B = n // _DEEP_SLAB_LIMB
+    shp = lambda a: a.reshape((B, _DEEP_SLAB_LIMB) + a.shape[1:])
+
+    def body(_, slabs):
+        cz, cgz, x = slabs
+        return None, _deep_combine_limb(cz, cgz, z_arr, zg_arr, x, eng)
+
+    _, parts = jax.lax.scan(body, None, (shp(comp_z), shp(comp_gz), shp(xs)))
+    return parts.reshape((n,) + parts.shape[2:])
 
 
 @partial(jax.jit, static_argnums=(5,))
@@ -880,6 +916,9 @@ class LimbFieldProver(Prover):
         comp_z, comp_gz = acc(main_lde, aux_lde, comp_lde, cc_arr, adj_z,
                               adj_gz)
         S = _DEEP_SLAB_LIMB
+        if lde_size % S == 0:
+            return _deep_combine_limb_scan(comp_z, comp_gz, z_arr, zg_arr,
+                                           xs, eng)
         parts = [
             _deep_combine_limb(comp_z[i : i + S], comp_gz[i : i + S],
                                z_arr, zg_arr, xs[i : i + S], eng)
