@@ -73,6 +73,17 @@ def _reshape_flat(chunk):
     return chunk.reshape(-1)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _to_flat_program(arr, slab: int):
+    """Slab-flatten inside ONE program: each slab's lane-padded relayout
+    temp stays bounded (~64 MB) and is freed before the next (XLA liveness),
+    while the host loop of per-slab dispatches it replaces cost one remote
+    roundtrip each."""
+    n = arr.shape[0]
+    parts = [arr[i : i + slab].reshape(-1) for i in range(0, n, slab)]
+    return jnp.concatenate(parts)
+
+
 def _to_flat(arr):
     """Device array -> 1-D device array, flattened in row slabs: slicing a
     big resident array is cheap, but a single whole-array reshape pads the
@@ -86,6 +97,11 @@ def _to_flat(arr):
     slab = 1 << (slab.bit_length() - 1)  # pow2 rows -> even pow2 slabs
     if n <= slab:
         return _reshape_flat(arr)
+    if n * rw <= (1 << 25):
+        return _to_flat_program(arr, slab)
+    # huge arrays: eager per-slab dispatches guarantee only one padded
+    # relayout temp is live at a time (XLA liveness inside one program is
+    # not guaranteed to free slab temps before the concat)
     parts = [_reshape_flat(arr[i : i + slab]) for i in range(0, n, slab)]
     return jnp.concatenate(parts)
 
