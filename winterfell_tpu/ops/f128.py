@@ -485,12 +485,35 @@ def _bitrev_perm(n: int) -> np.ndarray:
 
 _SMALL_NTT = 1 << 12
 
+# MXU leaf mode: decompose down to _MXU_LEAF-point DFTs computed as int8
+# digit matmuls on the systolic array (ops/ntt_mxu.py) instead of unrolled
+# radix-2 VPU butterflies. Measured on v5e (scripts/mxu_ntt_ab.py,
+# 2026-08-19): 0.88-0.98x of the radix-2 path — the radix-2 NTT is already
+# fast enough that digit recombination dominates, so this stays DEFAULT OFF
+# (an available engine, not the production path). WINTER_MXU_NTT=1 enables.
+import os as _os
+
+_USE_MXU = _os.environ.get("WINTER_MXU_NTT", "0") not in ("", "0")
+_MXU_LEAF = 1 << 7
+
+
+def _mxu_enabled() -> bool:
+    return _USE_MXU
+
 
 @lru_cache(maxsize=None)
 def ntt_plan(n: int, inverse: bool):
-    """None for small sizes, else (mid_twiddles, inner_plan, outer_plan) —
-    passed into jitted programs as a runtime argument."""
-    if n <= _SMALL_NTT:
+    """Pytree of device-resident constants, passed into jitted programs as a
+    runtime argument: ("mxu", leaf_digit_matrix) for MXU leaves, None for
+    radix-2 leaves, else (mid_twiddles, inner_plan, outer_plan)."""
+    if _mxu_enabled() and n <= _MXU_LEAF:
+        from . import ntt_mxu
+
+        # a bare int8 array IS the leaf plan (strings can't cross jit)
+        return ntt_mxu.leaf_matrix_dev(n, inverse)
+    if not _mxu_enabled() and n <= _SMALL_NTT:
+        return None
+    if n <= 2:  # degenerate tiny transforms: radix-2 path
         return None
     logn = n.bit_length() - 1
     a = 1 << (logn // 2)
@@ -536,11 +559,18 @@ def _ntt_small(x, n: int, inverse: bool):
 
 
 def _ntt_core(x, n: int, inverse: bool, plan):
-    """x: (n, ..., 4) -> NTT/iNTT without the 1/n scale (six-step above
-    _SMALL_NTT — the same distributed-NTT structure as ops.goldilocks)."""
+    """x: (n, ..., 4) -> NTT/iNTT without the 1/n scale (six-step above the
+    leaf size — the same distributed-NTT structure as ops.goldilocks; leaves
+    run as MXU digit matmuls when enabled, radix-2 butterflies otherwise)."""
     if n == 1:
         return x
-    if n <= _SMALL_NTT:
+    if plan is not None and not isinstance(plan, tuple):
+        # an int8 digit matrix = MXU leaf plan (see ntt_plan)
+        from . import ntt_mxu
+
+        return ntt_mxu._leaf_dft_jit(
+            x.reshape(n, -1, NUM_LIMBS), plan, n).reshape(x.shape)
+    if plan is None and n <= _SMALL_NTT:
         return _ntt_small(x, n, inverse)
 
     mid_tw, inner_plan, outer_plan = plan
