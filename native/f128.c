@@ -248,6 +248,35 @@ void wt_rescue128_trace(const u64 *seed /* 2 elems x (lo,hi) */,
     }
 }
 
+/* ---- Goldilocks (f64) fibonacci trace builder ----------------------------
+ * (examples/src/fibonacci/fib2/prover.rs build_trace semantics): row i
+ * holds terms (2i, 2i+1) of the fib sequence starting 1, 1. Sequential by
+ * nature; native adds beat the Python object-int loop ~1000x. */
+
+static const u64 GL_P = 0xFFFFFFFF00000001ULL;
+
+static inline u64 gl_add64(u64 a, u64 b) {
+    u64 s = a + b;
+    int carry = s < a;
+    if (carry)
+        s += 0xFFFFFFFFULL; /* 2^64 mod p */
+    if (s >= GL_P)
+        s -= GL_P;
+    return s;
+}
+
+void wt_fib64_trace(size_t length, u64 *out /* length x 2 */) {
+    u64 a = 1, b = 1;
+    out[0] = a;
+    out[1] = b;
+    for (size_t i = 1; i < length; i++) {
+        a = gl_add64(a, b);
+        b = gl_add64(a, b);
+        out[2 * i] = a;
+        out[2 * i + 1] = b;
+    }
+}
+
 /* batch modular ops used by hot host paths: out = a*b mod p, elementwise */
 void wt_f128_mul_arrays(const u64 *a, const u64 *b, u64 *out, size_t count) {
     const f128 *fa = (const f128 *)a;

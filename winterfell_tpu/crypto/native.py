@@ -66,6 +66,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_void_p, _u64x2, ctypes.c_void_p]
         lib.wt_rescue128_trace.restype = None
+        lib.wt_fib64_trace.argtypes = [ctypes.c_size_t, ctypes.c_void_p]
+        lib.wt_fib64_trace.restype = None
         _lib = lib
         return lib
     except OSError:

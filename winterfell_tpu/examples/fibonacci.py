@@ -28,6 +28,18 @@ def build_fib_trace(base: BaseField, sequence_length: int) -> TraceTable:
     assert sequence_length & (sequence_length - 1) == 0
     length = sequence_length // 2
     trace = TraceTable(base, TRACE_WIDTH, length)
+
+    if base.p == (1 << 64) - (1 << 32) + 1:  # Goldilocks: native C builder
+        from ..crypto import native
+
+        if native.available():
+            import numpy as np
+
+            rows = np.empty((length, 2), dtype=np.uint64)
+            native._load().wt_fib64_trace(length, rows.ctypes.data)
+            trace.set_native_rows(rows)
+            return trace
+
     a, b = 1, 1
     trace.update_row(0, [a, b])
     for step in range(length - 1):

@@ -718,7 +718,12 @@ class GoldilocksProver(Prover):
         part = air.options.partition_options
 
         # 1 ----- trace commitment ------------------------------------------
-        main_dev = self._shard_rows(gl.to_device(trace.main_segment()))  # (n, w)
+        native_rows = trace.native_rows() if hasattr(trace, "native_rows") \
+            else None
+        if native_rows is not None and native_rows.ndim == 2:
+            main_dev = self._shard_rows(jnp.asarray(native_rows))  # (n, w)
+        else:
+            main_dev = self._shard_rows(gl.to_device(trace.main_segment()))
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1))
