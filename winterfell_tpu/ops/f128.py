@@ -318,7 +318,7 @@ def f128_batch_inv(a):
     az = az.reshape(-1, _BATCH_INV_G, NUM_LIMBS)
     pref = jax.lax.associative_scan(f128_mul, az, axis=1)
     suff = jax.lax.associative_scan(f128_mul, az, axis=1, reverse=True)
-    tinv = f128_inv(pref[:, -1])
+    tinv = f128_batch_inv(pref[:, -1])
     ones_col = jnp.broadcast_to(jnp.asarray(one_row)[None],
                                 (az.shape[0], 1, NUM_LIMBS))
     pprev = jnp.concatenate([ones_col, pref[:, :-1]], axis=1)

@@ -524,7 +524,7 @@ def gl_batch_inv(a):
     az = jnp.where(is_zero, jnp.uint64(1), flat).reshape(-1, _BATCH_INV_G)
     pref = jax.lax.associative_scan(gl_mul, az, axis=1)
     suff = jax.lax.associative_scan(gl_mul, az, axis=1, reverse=True)
-    tinv = gl_inv(pref[:, -1])  # one Fermat chain per 128 elements
+    tinv = gl_batch_inv(pref[:, -1])  # recurse: Fermat only on the tip
     ones_col = jnp.ones((az.shape[0], 1), dtype=jnp.uint64)
     pprev = jnp.concatenate([ones_col, pref[:, :-1]], axis=1)
     snext = jnp.concatenate([suff[:, 1:], ones_col], axis=1)
