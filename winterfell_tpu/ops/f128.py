@@ -73,12 +73,19 @@ def to_device(arr_obj: np.ndarray):
     return jnp.asarray(to_limbs_np(arr_obj))
 
 
+@jax.jit
+def _widen_u32(v):
+    return v.astype(jnp.uint64)
+
+
 def to_device_native(rows: np.ndarray):
     """Native trace rows — (..., 2) little-endian u64 (lo, hi) pairs — to the
-    device limb layout. A pure dtype view: no Python-int materialization."""
+    device limb layout. A pure dtype view on the host; the u32→u64 lane widen
+    runs on device so only 16 B/element cross the link (the host astype
+    doubled the transfer)."""
     v = np.ascontiguousarray(rows).view(np.uint32)
     v = v.reshape(rows.shape[:-1] + (NUM_LIMBS,))
-    return jnp.asarray(v.astype(np.uint64))
+    return _widen_u32(jnp.asarray(v))
 
 
 def from_limbs_np(limbs: np.ndarray) -> np.ndarray:

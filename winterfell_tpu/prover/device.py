@@ -106,18 +106,38 @@ def _to_flat(arr):
     return jnp.concatenate(parts)
 
 
-def _flat_take(flat, word_idx: np.ndarray) -> np.ndarray:
-    """Gather words from a 1-D device array at host-computed indexes, padded
-    to the next power of two so distinct index COUNTS reuse the same
-    compiled gather (variable lengths would compile one program per count)."""
+def _flat_take_start(flat, word_idx: np.ndarray):
+    """Dispatch (async) a padded gather; returns the on-device result."""
     k = word_idx.shape[0]
     cap = 1
     while cap < k:
         cap *= 2
     padded = np.concatenate(
         [word_idx, np.full(cap - k, word_idx[0], dtype=np.int64)])
-    out = np.asarray(jnp.take(flat, jnp.asarray(padded), axis=0))
-    return out[:k]
+    return jnp.take(flat, jnp.asarray(padded), axis=0)
+
+
+def _flat_take(flat, word_idx: np.ndarray) -> np.ndarray:
+    """Gather words from a 1-D device array at host-computed indexes, padded
+    to the next power of two so distinct index COUNTS reuse the same
+    compiled gather (variable lengths would compile one program per count)."""
+    k = word_idx.shape[0]
+    return np.asarray(_flat_take_start(flat, word_idx))[:k]
+
+
+def _padded_take_start(arr, indexes):
+    """Dispatch (async) the row gather of :func:`_padded_take`; returns the
+    on-device padded result (finish with :func:`_padded_take_finish`)."""
+    row_shape = arr.shape[1:]
+    rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
+    word_idx = (np.asarray(indexes, dtype=np.int64)[:, None] * rw
+                + np.arange(rw, dtype=np.int64)[None, :]).reshape(-1)
+    return _flat_take_start(_to_flat(arr), word_idx)
+
+
+def _padded_take_finish(dev, k: int, row_shape) -> np.ndarray:
+    rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
+    return np.asarray(dev)[: k * rw].reshape((k,) + tuple(row_shape))
 
 
 def _padded_take(arr, indexes):
@@ -127,13 +147,8 @@ def _padded_take(arr, indexes):
     indexes: gathering rows of a narrow (n, w) operand makes XLA copy it
     into a lane-padded T(8,128) layout first (w=4 → 32× the bytes, a
     32 GiB allocation at 2^25 rows); a flat vector gathers in place."""
-    k = len(indexes)
-    row_shape = arr.shape[1:]
-    rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
-    word_idx = (np.asarray(indexes, dtype=np.int64)[:, None] * rw
-                + np.arange(rw, dtype=np.int64)[None, :]).reshape(-1)
-    rows = _flat_take(_to_flat(arr), word_idx)
-    return rows.reshape((k,) + row_shape)
+    return _padded_take_finish(
+        _padded_take_start(arr, indexes), len(indexes), arr.shape[1:])
 
 
 # every XLA program — even a one-row gather — costs a slow remote compile on
@@ -181,18 +196,34 @@ class _DigestView:
         return np.ascontiguousarray(
             row.astype(self._wdtype))[0].tobytes()[: self._nbytes]
 
-    def fetch(self, indexes) -> dict:
-        """Batched read of the requested digests."""
+    def fetch_start(self, indexes):
+        """Dispatch the device work of :meth:`fetch` without waiting —
+        lets callers pipeline many fetches' gathers/transfers over the
+        link before converting any of them."""
+        if not indexes:
+            return None
+        if self._host is not None or self._n <= _PULL_THRESHOLD:
+            if self._host is None and hasattr(self.arr, "copy_to_host_async"):
+                self.arr.copy_to_host_async()
+            return None
+        return _padded_take_start(self.arr, list(indexes))
+
+    def fetch_finish(self, tok, indexes) -> dict:
         if not indexes:
             return {}
         indexes = list(indexes)
         nb = self._nbytes
-        if self._host is not None or self._n <= _PULL_THRESHOLD:
+        if tok is None:
             host = self._host_all()
             return {i: host[int(i)].tobytes()[:nb] for i in indexes}
-        rows = np.ascontiguousarray(
-            _padded_take(self.arr, indexes).astype(self._wdtype))
+        rows = _padded_take_finish(tok, len(indexes), self.arr.shape[1:])
+        rows = np.ascontiguousarray(rows.astype(self._wdtype))
         return {i: rows[k].tobytes()[:nb] for k, i in enumerate(indexes)}
+
+    def fetch(self, indexes) -> dict:
+        """Batched read of the requested digests."""
+        indexes = list(indexes)
+        return self.fetch_finish(self.fetch_start(indexes), indexes)
 
 
 class _HeapNodesView:
@@ -246,12 +277,20 @@ class _HeapNodesView:
                 [_to_flat(self.levels[s]) for s in sorted(self.levels)])
         return self._flat
 
-    def _take_nodes(self, nodes) -> np.ndarray:
+    def _take_start(self, nodes):
+        """Dispatch the flat-heap gather asynchronously (None = the by-size
+        fallback path, resolved synchronously at finish)."""
         w = self._w
         if self._n <= _HEAP_FLAT_LIMIT and len(nodes) > 4:
             word_idx = ((np.asarray(nodes, dtype=np.int64) - 1)[:, None] * w
                         + np.arange(w, dtype=np.int64)).reshape(-1)
-            rows = _flat_take(self._flat_nodes(), word_idx)
+            return _flat_take_start(self._flat_nodes(), word_idx)
+        return None
+
+    def _take_finish(self, tok, nodes) -> np.ndarray:
+        w = self._w
+        if tok is not None:
+            rows = np.asarray(tok)[: len(nodes) * w]
             return np.ascontiguousarray(
                 rows.reshape(len(nodes), w).astype(self._wdtype))
         out = np.empty((len(nodes), w), dtype=self._wdtype)
@@ -272,16 +311,27 @@ class _HeapNodesView:
                     out[k] = rows[j]
         return out
 
+    def _take_nodes(self, nodes) -> np.ndarray:
+        return self._take_finish(self._take_start(nodes), nodes)
+
     def __getitem__(self, i) -> bytes:
         return self._take_nodes([int(i)])[0].tobytes()[: self._nbytes]
 
-    def fetch(self, indexes) -> dict:
+    def fetch_start(self, indexes):
+        return self._take_start([int(i) for i in indexes]) if indexes \
+            else None
+
+    def fetch_finish(self, tok, indexes) -> dict:
         indexes = [int(i) for i in indexes]
         if not indexes:
             return {}
-        rows = self._take_nodes(indexes)
+        rows = self._take_finish(tok, indexes)
         nb = self._nbytes
         return {i: rows[k].tobytes()[:nb] for k, i in enumerate(indexes)}
+
+    def fetch(self, indexes) -> dict:
+        indexes = [int(i) for i in indexes]
+        return self.fetch_finish(self.fetch_start(indexes), indexes)
 
 
 class _RecordingView:
@@ -329,7 +379,11 @@ class PrehashedMerkleTree(MerkleTree):
         self.hasher = hasher
         self.nodes = nodes_view
 
-    def prove_batch(self, indexes):
+    def prove_batch_start(self, indexes):
+        """Recording pass + async dispatch of the digest gathers. Callers
+        with several trees to prove (FRI layers, trace/constraint queries)
+        start them ALL first so the gathers and device→host transfers
+        pipeline over the link instead of paying one roundtrip each."""
         real_leaves, real_nodes = self.leaves, self.nodes
         rec_leaves = _RecordingView(len(real_leaves))
         rec_nodes = _RecordingView(len(real_nodes))
@@ -338,15 +392,26 @@ class PrehashedMerkleTree(MerkleTree):
             super().prove_batch(indexes)
         finally:
             self.leaves, self.nodes = real_leaves, real_nodes
+        leaf_idx = sorted(rec_leaves.indexes)
+        node_idx = sorted(rec_nodes.indexes)
+        return (list(indexes), leaf_idx, node_idx,
+                real_leaves.fetch_start(leaf_idx),
+                real_nodes.fetch_start(node_idx))
 
-        leaf_map = real_leaves.fetch(sorted(rec_leaves.indexes))
-        node_map = real_nodes.fetch(sorted(rec_nodes.indexes))
+    def prove_batch_finish(self, state):
+        indexes, leaf_idx, node_idx, leaf_tok, node_tok = state
+        real_leaves, real_nodes = self.leaves, self.nodes
+        leaf_map = real_leaves.fetch_finish(leaf_tok, leaf_idx)
+        node_map = real_nodes.fetch_finish(node_tok, node_idx)
         self.leaves = _DictView(leaf_map, len(real_leaves))
         self.nodes = _DictView(node_map, len(real_nodes))
         try:
             return super().prove_batch(indexes)
         finally:
             self.leaves, self.nodes = real_leaves, real_nodes
+
+    def prove_batch(self, indexes):
+        return self.prove_batch_finish(self.prove_batch_start(indexes))
 
 
 def _gl_sum(arr, axis: int = 0):
@@ -718,12 +783,20 @@ class GoldilocksProver(Prover):
         part = air.options.partition_options
 
         # 1 ----- trace commitment ------------------------------------------
-        native_rows = trace.native_rows() if hasattr(trace, "native_rows") \
-            else None
-        if native_rows is not None and native_rows.ndim == 2:
-            main_dev = self._shard_rows(jnp.asarray(native_rows))  # (n, w)
-        else:
-            main_dev = self._shard_rows(gl.to_device(trace.main_segment()))
+        dev_cache = trace.device_cache() if hasattr(trace, "device_cache") \
+            else {}
+        main_dev = dev_cache.get((F64.p, self.mesh))
+        if main_dev is None:
+            native_rows = trace.native_rows() \
+                if hasattr(trace, "native_rows") else None
+            if native_rows is not None and native_rows.ndim == 2:
+                main_dev = self._shard_rows(jnp.asarray(native_rows))
+            else:
+                main_dev = self._shard_rows(
+                    gl.to_device(trace.main_segment()))
+            dev_cache[(F64.p, self.mesh)] = main_dev
+        main_dev.block_until_ready()
+        phases.mark("commit_main_upload")
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1))
@@ -797,6 +870,7 @@ class GoldilocksProver(Prover):
         quot_nxt = eval_cols_at(comp_columns, zg_pows)
 
         channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
+        phases.mark("ood_evaluations")
         deep_ccs = channel.get_deep_composition_coeffs()
 
         deep_evaluations = self._deep_evaluations(
@@ -837,30 +911,48 @@ class GoldilocksProver(Prover):
         phases.mark("determine_query_positions")
 
         # 8 ----- proof assembly --------------------------------------------
-        proof_layers = []
+        # dispatch EVERY query gather first (all positions are host-known),
+        # so the per-tree gathers and device→host transfers pipeline over
+        # the link instead of paying one synchronous roundtrip each
+        layer_starts = []
         positions = list(query_positions)
         domain_size = lde_size
         for tree, transposed in fri_layers:
             positions = fold_positions(positions, domain_size, n_fold)
-            _, batch_proof = tree.prove_batch(positions)
-            rows_np = _padded_take(transposed, positions)
+            layer_starts.append(
+                (tree, transposed, positions,
+                 tree.prove_batch_start(positions),
+                 _padded_take_start(transposed, positions)))
+            domain_size //= n_fold
+        base_field = Field(F64, 1)
+        q_starts = [(main_tree, main_lde, base_field, 1,
+                     self._query_start(main_tree, main_lde, query_positions))]
+        if aux_tree is not None:
+            q_starts.append((aux_tree, aux_lde, ext, d,
+                             self._query_start(aux_tree, aux_lde,
+                                               query_positions)))
+        q_starts.append((comp_tree, comp_lde, ext, d,
+                         self._query_start(comp_tree, comp_lde,
+                                           query_positions)))
+
+        proof_layers = []
+        for tree, transposed, positions, st, rows_tok in layer_starts:
+            _, batch_proof = tree.prove_batch_finish(st)
+            rows_np = _padded_take_finish(rows_tok, len(positions),
+                                          transposed.shape[1:])
             query_values = [
                 [tuple(int(x) for x in row[j]) for j in range(n_fold)]
                 for row in rows_np
             ]
             proof_layers.append(
                 FriProofLayer.new(ext, query_values, batch_proof.to_bytes()))
-            domain_size //= n_fold
         fri_proof = FriProof.new(ext, proof_layers, remainder_poly, 1)
 
-        base_field = Field(F64, 1)
-        trace_queries = [self._query(main_tree, main_lde, query_positions,
-                                     base_field, 1)]
-        if aux_tree is not None:
-            trace_queries.append(self._query(aux_tree, aux_lde, query_positions,
-                                             ext, d))
-        constraint_queries = self._query(comp_tree, comp_lde, query_positions,
-                                         ext, d)
+        queries = [
+            self._query_finish(tree, lde, query_positions, st, field, dd)
+            for tree, lde, field, dd, st in q_starts]
+        trace_queries = queries[:-1]
+        constraint_queries = queries[-1]
 
         proof = channel.build_proof(
             trace_queries, constraint_queries, fri_proof, len(query_positions))
@@ -879,10 +971,16 @@ class GoldilocksProver(Prover):
             self.hasher)
 
     @staticmethod
-    def _query(tree, lde, positions: List[int], field: Field,
-               d: int) -> Queries:
-        _, proof = tree.prove_batch(positions)
-        rows_np = _padded_take(lde, positions)
+    def _query_start(tree, lde, positions: List[int]):
+        return (tree.prove_batch_start(positions),
+                _padded_take_start(lde, positions))
+
+    @staticmethod
+    def _query_finish(tree, lde, positions: List[int], start, field: Field,
+                      d: int) -> Queries:
+        st, rows_tok = start
+        _, proof = tree.prove_batch_finish(st)
+        rows_np = _padded_take_finish(rows_tok, len(positions), lde.shape[1:])
         rows = []
         for row in rows_np:
             if row.ndim == 1:  # base field row (w,)
@@ -890,6 +988,13 @@ class GoldilocksProver(Prover):
             else:  # (w, d)
                 rows.append([tuple(int(x) for x in e) for e in row])
         return Queries.new(proof.to_bytes(), rows, field)
+
+    @classmethod
+    def _query(cls, tree, lde, positions: List[int], field: Field,
+               d: int) -> Queries:
+        return cls._query_finish(
+            tree, lde, positions, cls._query_start(tree, lde, positions),
+            field, d)
 
     # ------------------------------------------------------------------
 

@@ -56,7 +56,8 @@ from .device import (
     PrehashedMerkleTree,
     _DigestView,
     _HeapNodesView,
-    _padded_take,
+    _padded_take_finish,
+    _padded_take_start,
 )
 
 jnp = f128_eng.jnp
@@ -463,14 +464,19 @@ class LimbFieldProver(Prover):
         part = air.options.partition_options
 
         # 1 ----- trace commitment ------------------------------------------
-        native_rows = trace.native_rows() if hasattr(trace, "native_rows") \
-            else None
-        if native_rows is not None and hasattr(eng, "to_device_native") \
-                and native_rows.ndim == 3:
-            main_dev = eng.to_device_native(native_rows)  # (n, w, L) via view
-        else:
-            main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
-        main_dev.block_until_ready()
+        dev_cache = trace.device_cache() if hasattr(trace, "device_cache") \
+            else {}
+        main_dev = dev_cache.get(eng.P)
+        if main_dev is None:
+            native_rows = trace.native_rows() \
+                if hasattr(trace, "native_rows") else None
+            if native_rows is not None and hasattr(eng, "to_device_native") \
+                    and native_rows.ndim == 3:
+                main_dev = eng.to_device_native(native_rows)  # (n, w, L) view
+            else:
+                main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
+            main_dev.block_until_ready()
+            dev_cache[eng.P] = main_dev
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
@@ -530,6 +536,7 @@ class LimbFieldProver(Prover):
         quot_nxt = eval_cols_at(comp_columns, zg_pows)
 
         channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
+        phases.mark("ood_evaluations")
         deep_ccs = channel.get_deep_composition_coeffs()
 
         deep_evaluations = self._deep_evaluations(
@@ -571,31 +578,49 @@ class LimbFieldProver(Prover):
         phases.mark("determine_query_positions")
 
         # 8 ----- proof assembly --------------------------------------------
-        proof_layers = []
+        # dispatch EVERY query gather first (all positions are host-known),
+        # so the per-tree gathers and device→host transfers pipeline over
+        # the link instead of paying one synchronous roundtrip each
+        layer_starts = []
         positions = list(query_positions)
         domain_size = lde_size
         for tree, transposed in fri_layers:
             positions = fold_positions(positions, domain_size, n_fold)
-            _, batch_proof = tree.prove_batch(positions)
-            rows_obj = eng.from_limbs_np(_padded_take(transposed, positions))
+            layer_starts.append(
+                (tree, transposed, positions,
+                 tree.prove_batch_start(positions),
+                 _padded_take_start(transposed, positions)))
+            domain_size //= n_fold
+        base_field = Field(air.base, 1)
+        q_starts = [(main_tree, main_lde, base_field, 1,
+                     self._query_start(main_tree, main_lde, query_positions))]
+        if aux_tree is not None:
+            q_starts.append((aux_tree, aux_lde, ext, d,
+                             self._query_start(aux_tree, aux_lde,
+                                               query_positions)))
+        q_starts.append((comp_tree, comp_lde, ext, d,
+                         self._query_start(comp_tree, comp_lde,
+                                           query_positions)))
+
+        proof_layers = []
+        for tree, transposed, positions, st, rows_tok in layer_starts:
+            _, batch_proof = tree.prove_batch_finish(st)
+            rows_obj = eng.from_limbs_np(_padded_take_finish(
+                rows_tok, len(positions), transposed.shape[1:]))
             query_values = [
                 [tuple(int(x) for x in row[j]) for j in range(n_fold)]
                 for row in rows_obj
             ]
             proof_layers.append(
                 FriProofLayer.new(ext, query_values, batch_proof.to_bytes()))
-            domain_size //= n_fold
         fri_proof = FriProof.new(ext, proof_layers, remainder_poly, 1)
         phases.mark("queries_fri_layers")
 
-        base_field = Field(air.base, 1)
-        trace_queries = [self._query(main_tree, main_lde, query_positions,
-                                     base_field, 1)]
-        if aux_tree is not None:
-            trace_queries.append(self._query(aux_tree, aux_lde,
-                                             query_positions, ext, d))
-        constraint_queries = self._query(comp_tree, comp_lde, query_positions,
-                                         ext, d)
+        queries = [
+            self._query_finish(tree, lde, query_positions, st, field, dd)
+            for tree, lde, field, dd, st in q_starts]
+        trace_queries = queries[:-1]
+        constraint_queries = queries[-1]
         phases.mark("queries_trace_and_constraints")
 
         proof = channel.build_proof(
@@ -615,11 +640,16 @@ class LimbFieldProver(Prover):
             _HeapNodesView(levels, leaves.shape[0], nbytes=nb),
             self.hasher)
 
-    def _query(self, tree, lde, positions: List[int], field: Field,
-               d: int) -> Queries:
-        _, proof = tree.prove_batch(positions)
+    def _query_start(self, tree, lde, positions: List[int]):
+        return (tree.prove_batch_start(positions),
+                _padded_take_start(lde, positions))
+
+    def _query_finish(self, tree, lde, positions: List[int], start,
+                      field: Field, d: int) -> Queries:
+        st, rows_tok = start
+        _, proof = tree.prove_batch_finish(st)
         rows_obj = type(self).engine.from_limbs_np(
-            _padded_take(lde, positions))
+            _padded_take_finish(rows_tok, len(positions), lde.shape[1:]))
         rows = []
         for row in rows_obj:
             if row.ndim == 1:  # base field row (w,)
@@ -627,6 +657,12 @@ class LimbFieldProver(Prover):
             else:  # (w, d)
                 rows.append([tuple(int(x) for x in e) for e in row])
         return Queries.new(proof.to_bytes(), rows, field)
+
+    def _query(self, tree, lde, positions: List[int], field: Field,
+               d: int) -> Queries:
+        return self._query_finish(
+            tree, lde, positions, self._query_start(tree, lde, positions),
+            field, d)
 
     # ------------------------------------------------------------------
     # constraint evaluation (device mirror of prover/evaluator.py)

@@ -103,6 +103,7 @@ class TraceTable(Trace):
         self._data: Optional[np.ndarray] = np.zeros((length, width),
                                                     dtype=object)
         self._native: Optional[np.ndarray] = None
+        self._dev_cache: dict = {}
 
     # -- native backing ------------------------------------------------------
     #
@@ -118,6 +119,18 @@ class TraceTable(Trace):
         assert arr.shape[1] == self._info.main_segment_width
         self._native = arr
         self._data = None
+        self._dev_cache.clear()
+
+    # -- device residency ------------------------------------------------
+    #
+    # Device provers keep the uploaded main-segment array cached here, keyed
+    # by engine, so a trace crosses the host↔device link once per process
+    # (the reference prover likewise reads the trace from wherever the
+    # builder left it — for a TPU prover that place is HBM). Every mutation
+    # below invalidates the cache, so proof bytes cannot depend on it.
+
+    def device_cache(self) -> dict:
+        return self._dev_cache
 
     def native_rows(self) -> Optional[np.ndarray]:
         return self._native
@@ -138,6 +151,7 @@ class TraceTable(Trace):
     def data(self, value: np.ndarray) -> None:
         self._data = value
         self._native = None
+        self._dev_cache.clear()
 
     # -- construction (trace_table.rs:81-252) -------------------------------
 
@@ -165,10 +179,12 @@ class TraceTable(Trace):
 
     def update_row(self, step: int, state: List[int]) -> None:
         p = self.base.p
+        self._dev_cache.clear()
         for c, v in enumerate(state):
             self.data[step, c] = v % p
 
     def set(self, column: int, step: int, value: int) -> None:
+        self._dev_cache.clear()
         self.data[step, column] = value % self.base.p
 
     def get(self, column: int, step: int) -> int:
