@@ -197,24 +197,27 @@ def _mul_limbs_4x4(a, b):
 
 
 def _mul_phi(h):
-    """h (..., k limbs) × φ (2 limbs) -> (..., k+2) limbs, exact."""
+    """h (..., k limbs) × φ -> (..., k+2) limbs, exact.
+
+    φ = 45·2^40 − 1, so h·φ = (h·45)·2^40 − h: one 6-bit-constant multiply
+    per limb (stays in-lane, < 2^38) plus a 40-bit limb shift and a borrow
+    chain — the generic 2-limb schoolbook this replaces cost 2k emulated
+    u64 multiplies."""
     k = h.shape[-1]
-    f0 = jnp.uint64(_PHI_LIMBS[0])
-    f1 = jnp.uint64(_PHI_LIMBS[1])
-    cols = [None] * (k + 2)
-    for i in range(k):
-        hi_limb = h[..., i]
-        for j, f in ((0, f0), (1, f1)):
-            pij = hi_limb * f
-            lo = pij & _MASK32
-            hi = pij >> jnp.uint64(32)
-            cols[i + j] = lo if cols[i + j] is None else cols[i + j] + lo
-            cols[i + j + 1] = (hi if cols[i + j + 1] is None
-                               else cols[i + j + 1] + hi)
-    out, carry = _carry_sweep([c if c is not None else jnp.zeros_like(h[..., 0])
-                               for c in cols])
-    # k+2 limbs always suffice: h < 2^(32k), φ < 2^46 -> product < 2^(32k+46)
-    return jnp.stack(out, axis=-1)
+    c45 = jnp.uint64(45)
+    t, carry = _carry_sweep([h[..., i] * c45 for i in range(k)])
+    t.append(carry)  # k+1 limbs of h·45 (top limb < 2^6)
+    # (h·45) << 40: limb j = (t[j-1] << 8 | t[j-2] >> 24) & mask, j < k+2
+    zero = jnp.zeros_like(h[..., 0])
+    tt = [zero, zero] + t
+    shifted = [
+        ((tt[j + 1] << jnp.uint64(8)) | (tt[j] >> jnp.uint64(24))) & _MASK32
+        for j in range(k + 2)]
+    # subtract h (the "−1" of φ); no borrow out: h·45·2^40 ≥ h
+    pad = jnp.zeros(h.shape[:-1] + (2,), dtype=jnp.uint64)
+    out, _ = _sub_raw(jnp.stack(shifted, axis=-1),
+                      jnp.concatenate([h, pad], axis=-1))
+    return out
 
 
 def _fold_256(cols8):

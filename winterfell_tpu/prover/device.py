@@ -853,21 +853,31 @@ class GoldilocksProver(Prover):
         z_pows = _z_power_table(ext, z, n)     # (n, d)
         zg_pows = _z_power_table(ext, zg, n)
 
-        def eval_cols_at(polys, pows):
-            # polys (n, k) base or (n, k, d) ext; returns list of ext tuples
+        # dispatch every OOD evaluation before converting any (the per-call
+        # device→host pulls overlap the remaining evaluations' compute)
+        def eval_cols_start(polys, pows):
+            # polys (n, k) base or (n, k, d) ext
             if polys.ndim == 2:
-                res = np.asarray(_eval_cols_base(polys, pows))
-            else:
-                res = np.asarray(_eval_cols_ext(polys, pows))
+                return _eval_cols_base(polys, pows)
+            return _eval_cols_ext(polys, pows)
+
+        def eval_cols_conv(dev):
+            res = np.asarray(dev)
             return [tuple(int(x) for x in row) for row in res]
 
-        trace_cur = eval_cols_at(main_polys, z_pows)
-        trace_nxt = eval_cols_at(main_polys, zg_pows)
+        started = [eval_cols_start(main_polys, z_pows),
+                   eval_cols_start(main_polys, zg_pows)]
         if aux_polys is not None:
-            trace_cur += eval_cols_at(aux_polys, z_pows)
-            trace_nxt += eval_cols_at(aux_polys, zg_pows)
-        quot_cur = eval_cols_at(comp_columns, z_pows)
-        quot_nxt = eval_cols_at(comp_columns, zg_pows)
+            started += [eval_cols_start(aux_polys, z_pows),
+                        eval_cols_start(aux_polys, zg_pows)]
+        started += [eval_cols_start(comp_columns, z_pows),
+                    eval_cols_start(comp_columns, zg_pows)]
+        conv = [eval_cols_conv(dev) for dev in started]
+        trace_cur, trace_nxt = conv[0], conv[1]
+        if aux_polys is not None:
+            trace_cur += conv[2]
+            trace_nxt += conv[3]
+        quot_cur, quot_nxt = conv[-2], conv[-1]
 
         channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
         phases.mark("ood_evaluations")

@@ -523,17 +523,28 @@ class LimbFieldProver(Prover):
         z_pows = _z_power_table(eng, ext, z, n)
         zg_pows = _z_power_table(eng, ext, zg, n)
 
-        def eval_cols_at(polys, pows):
-            res = eng.to_host(_eval_cols_at(polys, pows, eng))
+        # dispatch every OOD evaluation before converting any (the per-call
+        # device→host pulls overlap the remaining evaluations' compute)
+        def eval_cols_start(polys, pows):
+            return _eval_cols_at(polys, pows, eng)
+
+        def eval_cols_conv(dev):
+            res = eng.to_host(dev)
             return [tuple(int(x) for x in row) for row in res]
 
-        trace_cur = eval_cols_at(main_polys, z_pows)
-        trace_nxt = eval_cols_at(main_polys, zg_pows)
+        started = [eval_cols_start(main_polys, z_pows),
+                   eval_cols_start(main_polys, zg_pows)]
         if aux_polys is not None:
-            trace_cur += eval_cols_at(aux_polys, z_pows)
-            trace_nxt += eval_cols_at(aux_polys, zg_pows)
-        quot_cur = eval_cols_at(comp_columns, z_pows)
-        quot_nxt = eval_cols_at(comp_columns, zg_pows)
+            started += [eval_cols_start(aux_polys, z_pows),
+                        eval_cols_start(aux_polys, zg_pows)]
+        started += [eval_cols_start(comp_columns, z_pows),
+                    eval_cols_start(comp_columns, zg_pows)]
+        conv = [eval_cols_conv(dev) for dev in started]
+        trace_cur, trace_nxt = conv[0], conv[1]
+        if aux_polys is not None:
+            trace_cur += conv[2]
+            trace_nxt += conv[3]
+        quot_cur, quot_nxt = conv[-2], conv[-1]
 
         channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
         phases.mark("ood_evaluations")
