@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ..utils.compile_cache import stabilize_pallas_cache_keys
+
+# Pallas cache keys must not depend on caller line numbers (see utils/compile_cache.py)
+stabilize_pallas_cache_keys()
+
 from ..math.fields import GOLDILOCKS_P
 
 P = GOLDILOCKS_P

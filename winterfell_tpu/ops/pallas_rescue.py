@@ -33,6 +33,11 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ..utils.compile_cache import stabilize_pallas_cache_keys
+
+# Pallas cache keys must not depend on caller line numbers (see utils/compile_cache.py)
+stabilize_pallas_cache_keys()
+
 from ..crypto.rescue_constants import RP64_256_ARK1, RP64_256_ARK2
 from ..math.fields import GOLDILOCKS_P
 
