@@ -36,6 +36,17 @@ import os
 import sys
 import time
 
+# The axon sitecustomize registers the PJRT plugin at interpreter start and
+# reads PALLAS_AXON_REMOTE_COMPILE *then* — setting it here is too late for
+# this process. Local AOT compile fails against the pool's libtpu (see
+# CLAUDE.md), so if we are on an axon pool without the flag, re-exec once
+# with it set rather than letting every cache miss error out or hang.
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1"
+        and not os.environ.get("BENCH_PLATFORM")):
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
