@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 from ..utils.serde import ByteReader, ByteWriter, DeserializationError
+from .commitment import VectorCommitment
 
 
 class MerkleTreeError(Exception):
@@ -157,8 +158,9 @@ class BatchMerkleProof:
         return proof
 
 
-class MerkleTree:
-    """Fully-balanced binary Merkle tree over pre-hashed leaf digests."""
+class MerkleTree(VectorCommitment):
+    """Fully-balanced binary Merkle tree over pre-hashed leaf digests — the
+    production ``VectorCommitment`` (crypto/src/merkle/mod.rs impl)."""
 
     def __init__(self, leaves: List[bytes], hasher):
         n = len(leaves)
@@ -184,6 +186,10 @@ class MerkleTree:
     @property
     def depth(self) -> int:
         return len(self.leaves).bit_length() - 1
+
+    @property
+    def domain_len(self) -> int:
+        return len(self.leaves)
 
     def prove(self, index: int) -> Tuple[bytes, List[bytes]]:
         """Single opening: (leaf, [leaf sibling, node siblings...])."""
