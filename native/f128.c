@@ -285,3 +285,172 @@ void wt_f128_mul_arrays(const u64 *a, const u64 *b, u64 *out, size_t count) {
     for (size_t i = 0; i < count; i++)
         fo[i] = f128_mul(fa[i], fb[i]);
 }
+
+/* ---- Rescue-128 width-6 (examples/src/utils/rescue.rs) --------------------
+ * State 6, rate 4, 7 rounds; round = MDS(sbox) + ark[0..6], MDS(inv_sbox)
+ * + ark[6..12]. Used by the merkle and lamport examples; the native builder
+ * exists because the lamport aggregate trace runs three of these sponges
+ * per row for 1024 rows per signature (examples/src/lamport/aggregate/
+ * prover.rs build_trace) — hours of big-int Python at benchable sizes. */
+
+static void rescue128w6_mds(const f128 mds[36], f128 st[6]) {
+    f128 out[6];
+    for (int i = 0; i < 6; i++) {
+        f128 acc = f128_mul(mds[i * 6], st[0]);
+        for (int j = 1; j < 6; j++)
+            acc = f128_add(acc, f128_mul(mds[i * 6 + j], st[j]));
+        out[i] = acc;
+    }
+    memcpy(st, out, sizeof out);
+}
+
+static void rescue128w6_round(const f128 mds[36], const f128 *ark12,
+                              u128 inv_alpha, f128 st[6]) {
+    for (int i = 0; i < 6; i++) { /* sbox x^3 */
+        f128 sq = f128_mul(st[i], st[i]);
+        st[i] = f128_mul(sq, st[i]);
+    }
+    rescue128w6_mds(mds, st);
+    for (int i = 0; i < 6; i++)
+        st[i] = f128_add(st[i], ark12[i]);
+    for (int i = 0; i < 6; i++) /* inv-sbox x^INV_ALPHA */
+        st[i] = f128_pow(st[i], inv_alpha);
+    rescue128w6_mds(mds, st);
+    for (int i = 0; i < 6; i++)
+        st[i] = f128_add(st[i], ark12[6 + i]);
+}
+
+static void rescue128w6_permute(const f128 mds[36], const f128 *ark /* 8x12 */,
+                                u128 ia, f128 st[6]) {
+    for (int r = 0; r < 7; r++)
+        rescue128w6_round(mds, &ark[r * 12], ia, st);
+}
+
+/* Sponge over `len` elements, rate 4 (rescue.rs:81-101). out = state[0..2]. */
+void wt_rescue128w6_sponge(const u64 *data_raw, size_t len,
+                           const u64 *mds_raw, const u64 *ark_raw,
+                           const u64 inv_alpha[2], u64 out[4]) {
+    const f128 *data = (const f128 *)data_raw;
+    const f128 *mds = (const f128 *)mds_raw;
+    const f128 *ark = (const f128 *)ark_raw;
+    u128 ia = (((u128)inv_alpha[1]) << 64) | inv_alpha[0];
+    f128 st[6] = {{0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}, {0, 0}};
+    size_t i = 0;
+    for (size_t k = 0; k < len; k++) {
+        st[i] = f128_add(st[i], data[k]);
+        if (++i == 4) {
+            rescue128w6_permute(mds, ark, ia, st);
+            i = 0;
+        }
+    }
+    if (i > 0)
+        rescue128w6_permute(mds, ark, ia, st);
+    memcpy(out, st, 2 * sizeof(f128));
+}
+
+/* Batch digest of n independent 2-element inputs (lamport keygen: the 254
+ * per-bit public keys are rescue(sec_key) — signature.rs:60-78). */
+void wt_rescue128w6_hash2_many(const u64 *inputs_raw /* n x 2 x 2 */, size_t n,
+                               const u64 *mds_raw, const u64 *ark_raw,
+                               const u64 inv_alpha[2],
+                               u64 *out_raw /* n x 2 x 2 */) {
+    const f128 *inputs = (const f128 *)inputs_raw;
+    const f128 *mds = (const f128 *)mds_raw;
+    const f128 *ark = (const f128 *)ark_raw;
+    f128 *out = (f128 *)out_raw;
+    u128 ia = (((u128)inv_alpha[1]) << 64) | inv_alpha[0];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t k = 0; k < n; k++) {
+        f128 st[6] = {inputs[2 * k], inputs[2 * k + 1],
+                      {0, 0}, {0, 0}, {0, 0}, {0, 0}};
+        rescue128w6_permute(mds, ark, ia, st);
+        out[2 * k] = st[0];
+        out[2 * k + 1] = st[1];
+    }
+}
+
+/* ---- Lamport aggregate trace (examples/src/lamport/aggregate/prover.rs) --
+ *
+ * Width-22 state machine, 1024 rows per signature: 128 hash cycles of 8
+ * steps — 7 Rescue rounds applied to three parallel width-6 sponges
+ * (columns 4-9, 10-15, 16-21), then an update step that aggregates the
+ * revealed key into the public-key sponge, loads the next secret keys, and
+ * accumulates message bits (columns 0-3). Key schedules (sec/pub per bit)
+ * are precomputed by the Python caller; signatures are independent, so rows
+ * parallelize over OpenMP threads. */
+
+void wt_lamport_trace(const u64 *msgs_raw /* nsig x 2 x 2 */,
+                      const u64 *sec1_raw, const u64 *sec2_raw,
+                      const u64 *pub1_raw, const u64 *pub2_raw,
+                      /* each: nsig x 128 x 2 x 2 */
+                      size_t nsig, const u64 *mds_raw, const u64 *ark_raw,
+                      const u64 inv_alpha[2],
+                      u64 *out_raw /* (nsig*1024) x 22 x 2 */) {
+    const f128 *mds = (const f128 *)mds_raw;
+    const f128 *ark = (const f128 *)ark_raw;
+    u128 ia = (((u128)inv_alpha[1]) << 64) | inv_alpha[0];
+    f128 *rows = (f128 *)out_raw;
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (size_t s = 0; s < nsig; s++) {
+        const f128 *m = (const f128 *)msgs_raw + 2 * s;
+        u128 m0 = (((u128)m[0].hi) << 64) | m[0].lo;
+        u128 m1 = (((u128)m[1].hi) << 64) | m[1].lo;
+        const f128 *sec1 = (const f128 *)sec1_raw + s * 256;
+        const f128 *sec2 = (const f128 *)sec2_raw + s * 256;
+        const f128 *pub1 = (const f128 *)pub1_raw + s * 256;
+        const f128 *pub2 = (const f128 *)pub2_raw + s * 256;
+        f128 *base = rows + s * 1024 * 22;
+
+        f128 st[22];
+        memset(st, 0, sizeof st);
+        st[0] = (f128){(u64)(m0 & 1), 0};
+        st[1] = (f128){(u64)(m1 & 1), 0};
+        st[4] = sec1[0];
+        st[5] = sec1[1];
+        st[10] = sec2[0];
+        st[11] = sec2[1];
+        memcpy(base, st, sizeof st);
+
+        for (size_t step = 0; step + 1 < 1024; step++) {
+            size_t cycle_num = step >> 3, cycle_step = step & 7;
+            if (cycle_step < 7) {
+                rescue128w6_round(mds, &ark[cycle_step * 12], ia, &st[4]);
+                rescue128w6_round(mds, &ark[cycle_step * 12], ia, &st[10]);
+                rescue128w6_round(mds, &ark[cycle_step * 12], ia, &st[16]);
+            } else {
+                int m0_bit = st[0].lo == 1, m1_bit = st[1].lo == 1;
+                /* public key aggregation (prover.rs update_pub_key_hash) */
+                f128 k1a = m0_bit ? st[4] : pub1[2 * cycle_num];
+                f128 k1b = m0_bit ? st[5] : pub1[2 * cycle_num + 1];
+                f128 k2a = m1_bit ? st[10] : pub2[2 * cycle_num];
+                f128 k2b = m1_bit ? st[11] : pub2[2 * cycle_num + 1];
+                st[16] = f128_add(st[16], k1a);
+                st[17] = f128_add(st[17], k1b);
+                st[18] = f128_add(st[18], k2a);
+                st[19] = f128_add(st[19], k2b);
+                /* next secret keys */
+                st[4] = sec1[2 * (cycle_num + 1)];
+                st[5] = sec1[2 * (cycle_num + 1) + 1];
+                st[6] = st[7] = st[8] = st[9] = (f128){0, 0};
+                st[10] = sec2[2 * (cycle_num + 1)];
+                st[11] = sec2[2 * (cycle_num + 1) + 1];
+                st[12] = st[13] = st[14] = st[15] = (f128){0, 0};
+                /* message accumulation: 2^cycle_num < 2^127 < p */
+                st[0] = (f128){(u64)((m0 >> (cycle_num + 1)) & 1), 0};
+                st[1] = (f128){(u64)((m1 >> (cycle_num + 1)) & 1), 0};
+                u128 p2 = ((u128)1) << cycle_num;
+                f128 pw = {(u64)p2, (u64)(p2 >> 64)};
+                if (m0_bit)
+                    st[2] = f128_add(st[2], pw);
+                if (m1_bit)
+                    st[3] = f128_add(st[3], pw);
+            }
+            memcpy(base + (step + 1) * 22, st, sizeof st);
+        }
+    }
+}

@@ -82,3 +82,57 @@ def test_native_f128_ntt_matches_oracle(monkeypatch):
     assert (back[:256] == a).all()
     assert (back == pure(
         ntt.interpolate_poly_with_offset, F128, lde_n, F128.generator)).all()
+
+
+# ---- Rescue-128 width-6 + lamport builders ----------------------------------
+
+
+def test_rescue128w6_sponge_matches_python():
+    from winterfell_tpu.examples.merkle import (
+        ARK, INV_ALPHA, MDS, rescue128_digest)
+
+    rng = random.Random(7)
+    from winterfell_tpu.math.fields import F128
+
+    for length in (2, 4, 5, 512):
+        data = [rng.randrange(F128.p) for _ in range(length)]
+        assert native.rescue128w6_sponge(data, MDS, ARK, INV_ALPHA) == \
+            rescue128_digest(data)
+
+
+def test_rescue128w6_hash2_many_matches_python():
+    from winterfell_tpu.examples.merkle import (
+        ARK, INV_ALPHA, MDS, rescue128_digest)
+    from winterfell_tpu.math.fields import F128
+
+    rng = random.Random(8)
+    pairs = [(rng.randrange(F128.p), rng.randrange(F128.p)) for _ in range(9)]
+    assert native.rescue128w6_hash2_many(pairs, MDS, ARK, INV_ALPHA) == \
+        [rescue128_digest(list(p)) for p in pairs]
+
+
+def test_lamport_keygen_and_trace_match_python(monkeypatch):
+    """Pins the C lamport keygen + 1024-step trace builder to the Python
+    state machine (examples/src/lamport/aggregate/prover.rs build_trace)."""
+    from winterfell_tpu.examples import lamport
+
+    keys = [lamport.PrivateKey(seed) for seed in (11, 12)]
+    messages = [lamport.message_to_elements(f"msg{i}".encode())
+                for i in range(2)]
+    sigs = [k.sign(f"msg{i}".encode()) for i, k in enumerate(keys)]
+
+    # native keygen == Python keygen
+    py_pub = [lamport.rescue128_digest(list(sk)) for sk in keys[0].sec_keys]
+    assert keys[0].pub_keys == py_pub
+    assert keys[0].pub_key_hash == lamport.hash_pub_keys(py_pub)
+
+    native_trace = lamport.build_lamport_trace(messages, sigs)
+    monkeypatch.setattr(native, "available", lambda: False)
+    py_trace = lamport.build_lamport_trace(messages, sigs)
+
+    n, w = py_trace.length, py_trace.width
+    for step in (0, 1, 7, 8, 9, 511, 1023, 1024, 2047):
+        for col in range(w):
+            assert native_trace.get(col, step) == py_trace.get(col, step), \
+                (step, col)
+    assert n == native_trace.length == 2048

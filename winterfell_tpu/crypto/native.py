@@ -68,6 +68,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.wt_rescue128_trace.restype = None
         lib.wt_fib64_trace.argtypes = [ctypes.c_size_t, ctypes.c_void_p]
         lib.wt_fib64_trace.restype = None
+        lib.wt_rescue128w6_sponge.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, _u64x2, ctypes.c_uint64 * 4]
+        lib.wt_rescue128w6_sponge.restype = None
+        lib.wt_rescue128w6_hash2_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, _u64x2, ctypes.c_void_p]
+        lib.wt_rescue128w6_hash2_many.restype = None
+        lib.wt_lamport_trace.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, _u64x2, ctypes.c_void_p]
+        lib.wt_lamport_trace.restype = None
         _lib = lib
         return lib
     except OSError:
@@ -150,4 +163,73 @@ def rescue128_trace(seed, iterations: int, mds, ark, inv_alpha: int):
     lib.wt_rescue128_trace(seed_arr.ctypes.data, iterations,
                            mds_arr.ctypes.data, ark_arr.ctypes.data,
                            _u64_pair(inv_alpha), out.ctypes.data)
+    return out
+
+
+# ---- Rescue-128 width-6 + lamport trace (native/f128.c) ---------------------
+
+
+def rescue128w6_sponge(data, mds, ark, inv_alpha: int):
+    """Sponge over a flat element list (examples/src/utils/rescue.rs:81-101);
+    returns the (state[0], state[1]) digest as Python ints."""
+    import ctypes as ct
+
+    lib = _load()
+    assert lib is not None
+    import numpy as np
+
+    data_arr = np.ascontiguousarray(_pairs_np(data))
+    mds_arr = np.ascontiguousarray(_pairs_np(mds))
+    ark_arr = np.ascontiguousarray(_pairs_np([v for row in ark for v in row]))
+    out = (ct.c_uint64 * 4)()
+    lib.wt_rescue128w6_sponge(data_arr.ctypes.data, len(data),
+                              mds_arr.ctypes.data, ark_arr.ctypes.data,
+                              _u64_pair(inv_alpha), out)
+    return (out[0] | (out[1] << 64), out[2] | (out[3] << 64))
+
+
+def rescue128w6_hash2_many(pairs, mds, ark, inv_alpha: int):
+    """Batch digest of n independent 2-element inputs; returns a list of
+    (d0, d1) digests (lamport keygen's per-bit public keys)."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    n = len(pairs)
+    inp = np.ascontiguousarray(
+        _pairs_np([v for pair in pairs for v in pair]).reshape(n, 2, 2))
+    mds_arr = np.ascontiguousarray(_pairs_np(mds))
+    ark_arr = np.ascontiguousarray(_pairs_np([v for row in ark for v in row]))
+    out = np.empty((n, 2, 2), dtype=np.uint64)
+    lib.wt_rescue128w6_hash2_many(inp.ctypes.data, n, mds_arr.ctypes.data,
+                                  ark_arr.ctypes.data, _u64_pair(inv_alpha),
+                                  out.ctypes.data)
+    return [(int(out[i, 0, 0]) | (int(out[i, 0, 1]) << 64),
+             int(out[i, 1, 0]) | (int(out[i, 1, 1]) << 64)) for i in range(n)]
+
+
+def lamport_trace(msgs, sec1, sec2, pub1, pub2, mds, ark, inv_alpha: int):
+    """Native Lamport aggregate trace: returns a (1024*nsig, 22, 2) uint64
+    limb-pair array (native/f128.c wt_lamport_trace). ``msgs`` is a list of
+    (m0, m1); the four key schedules are nsig x 128 lists of (k0, k1)."""
+    import numpy as np
+
+    lib = _load()
+    assert lib is not None
+    nsig = len(msgs)
+
+    def sched_np(sched):
+        flat = [v for sig in sched for pair in sig for v in pair]
+        return np.ascontiguousarray(_pairs_np(flat).reshape(nsig, 128, 2, 2))
+
+    msgs_arr = np.ascontiguousarray(
+        _pairs_np([v for m in msgs for v in m]).reshape(nsig, 2, 2))
+    s1, s2, p1, p2 = map(sched_np, (sec1, sec2, pub1, pub2))
+    mds_arr = np.ascontiguousarray(_pairs_np(mds))
+    ark_arr = np.ascontiguousarray(_pairs_np([v for row in ark for v in row]))
+    out = np.empty((1024 * nsig, 22, 2), dtype=np.uint64)
+    lib.wt_lamport_trace(msgs_arr.ctypes.data, s1.ctypes.data, s2.ctypes.data,
+                         p1.ctypes.data, p2.ctypes.data, nsig,
+                         mds_arr.ctypes.data, ark_arr.ctypes.data,
+                         _u64_pair(inv_alpha), out.ctypes.data)
     return out

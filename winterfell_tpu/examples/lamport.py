@@ -17,6 +17,7 @@ from ..math.fields import F128
 from ..prover import Prover, TraceTable
 from .merkle import (
     ARK,
+    INV_ALPHA,
     INV_MDS,
     MDS,
     NUM_HASH_ROUNDS,
@@ -66,8 +67,22 @@ class PrivateKey:
         self.sec_keys = [
             (rng.randrange(_P), rng.randrange(_P)) for _ in range(MESSAGE_BITS)
         ]
-        self.pub_keys = [rescue128_digest(list(sk)) for sk in self.sec_keys]
-        self.pub_key_hash = hash_pub_keys(self.pub_keys)
+        from ..crypto import native
+
+        if native.available():
+            # 254 per-bit digests + the 512-element aggregation sponge in C
+            self.pub_keys = native.rescue128w6_hash2_many(
+                self.sec_keys, MDS, ARK, INV_ALPHA)
+            half = MESSAGE_BITS // 2
+            data: List[int] = [0, 0, 0, 0]  # hash_pub_keys' leading block
+            for i in range(half):
+                data.extend(self.pub_keys[i])
+                data.extend(self.pub_keys[i + half])
+            self.pub_key_hash = native.rescue128w6_sponge(
+                data, MDS, ARK, INV_ALPHA)
+        else:
+            self.pub_keys = [rescue128_digest(list(sk)) for sk in self.sec_keys]
+            self.pub_key_hash = hash_pub_keys(self.pub_keys)
 
     def pub_key(self) -> Tuple[int, int]:
         return self.pub_key_hash
@@ -148,6 +163,22 @@ def _build_key_schedule(m0: int, m1: int, sig: Signature):
 def build_lamport_trace(messages: List[Tuple[int, int]],
                         signatures: List[Signature]) -> TraceTable:
     trace = TraceTable(F128, TRACE_WIDTH, SIG_CYCLE_LEN * len(messages))
+
+    from ..crypto import native
+
+    if native.available():
+        # the 1024-step/signature three-sponge state machine in C
+        # (tests/test_native.py pins it to the Python builder below)
+        scheds = [_build_key_schedule(m0, m1, sig)
+                  for (m0, m1), sig in zip(messages, signatures)]
+        rows = native.lamport_trace(
+            messages,
+            [s[0] for s in scheds], [s[1] for s in scheds],
+            [s[2] for s in scheds], [s[3] for s in scheds],
+            MDS, ARK, INV_ALPHA)
+        trace.set_native_rows(rows)
+        return trace
+
     powers_of_two = [pow(2, i, _P) for i in range(128)]
 
     for sig_idx, (msg, sig) in enumerate(zip(messages, signatures)):
