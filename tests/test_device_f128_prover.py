@@ -101,9 +101,9 @@ def test_fib_device_sha3_matches_host():
     verify(FibAir, dev, compute_fib_term(F128, 128), Sha3_256)
 
 
-def test_lamport_aggregate_device_matches_host():
-    """The heavyweight width-22 AIR (sequence assertions, periodic columns —
-    examples/src/lamport/aggregate/mod.rs) on the device path."""
+def _lamport_device_check():
+    """Body of the lamport device byte-pin (see the test below for why this
+    runs in a child process)."""
     from winterfell_tpu.examples.lamport import (
         LamportAggregateAir,
         LamportAggregateProver,
@@ -130,6 +130,39 @@ def test_lamport_aggregate_device_matches_host():
     assert dev.to_bytes() == host.to_bytes()
     verify(LamportAggregateAir, dev,
            LamportPublicInputs(tuple(pub_keys), tuple(messages)), Blake3_256)
+
+
+def test_lamport_aggregate_device_matches_host():
+    """The heavyweight width-22 AIR (sequence assertions, periodic columns —
+    examples/src/lamport/aggregate/mod.rs) on the device path.
+
+    Runs in a fresh interpreter with the persistent compilation cache OFF:
+    inside a long pytest process, XLA:CPU's executable serialize/deserialize
+    segfaults nondeterministically on this AIR's large programs (observed
+    twice: once in `executable.serialize()` during a cache write, once in
+    deserialization during a cache read; the same test standalone passes).
+    Isolation turns a would-be suite-killing crash into a plain failure and
+    skipping the cache avoids the buggy XLA paths entirely."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({
+        "PYTHONPATH": repo,
+        "JAX_PLATFORMS": "cpu",
+        "JAX_ENABLE_COMPILATION_CACHE": "false",
+        "XLA_FLAGS": (env.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8").strip(),
+    })
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from tests.test_device_f128_prover import _lamport_device_check; "
+            "_lamport_device_check(); print('LAMPORT_PIN_OK')")
+    res = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                         capture_output=True, text=True, timeout=3600)
+    assert res.returncode == 0, res.stderr[-4000:]
+    assert "LAMPORT_PIN_OK" in res.stdout
 
 
 def test_fib_device_huge_domain_split_matches_host(monkeypatch):
