@@ -1,11 +1,13 @@
 #!/bin/bash
-# Round-3 (session c) follow-up chain: waits for r3c_chain to finish, then
-# records the larger f128 rescue points (the reference's own headline table)
-# now that chain 2^14 hit 1.34 s, plus a fib 2^18 recheck against the 3x bar.
+# Round-3 follow-up chain: waits for r3c_chain, then records larger f128
+# rescue points. HARD CUTOFF: every job is killed in time to free the TPU
+# before the driver's round-end bench (only one process may use the chip).
 set -u
 cd /root/repo
 LOG=.tpu_logs
 export PALLAS_AXON_REMOTE_COMPILE=1
+
+CUTOFF=$(date -d "07:18" +%s 2>/dev/null || echo 0)
 
 # wait (max 90 min) for the r3c chain to release the TPU
 for i in $(seq 1 540); do
@@ -15,9 +17,15 @@ done
 
 run() {
   name=$1; shift
-  echo "=== $name start $(date +%T) ===" | tee -a "$LOG/r3d_chain.log"
+  NOW=$(date +%s)
+  LEFT=$(( CUTOFF - NOW ))
+  if [ "$LEFT" -lt 300 ]; then
+    echo "=== $name SKIPPED (cutoff) ===" | tee -a "$LOG/r3d_chain.log"
+    return
+  fi
+  echo "=== $name start $(date +%T) (budget ${LEFT}s) ===" | tee -a "$LOG/r3d_chain.log"
   T0=$(date +%s)
-  timeout 5400 "$@" > "$LOG/r3d_$name.out" 2> "$LOG/r3d_$name.err"
+  timeout "$LEFT" "$@" > "$LOG/r3d_$name.out" 2> "$LOG/r3d_$name.err"
   echo "=== $name rc=$? wall=$(( $(date +%s) - T0 ))s ===" | tee -a "$LOG/r3d_chain.log"
 }
 

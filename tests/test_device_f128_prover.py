@@ -136,13 +136,13 @@ def test_lamport_aggregate_device_matches_host():
     """The heavyweight width-22 AIR (sequence assertions, periodic columns —
     examples/src/lamport/aggregate/mod.rs) on the device path.
 
-    Runs in a fresh interpreter with the persistent compilation cache OFF:
-    inside a long pytest process, XLA:CPU's executable serialize/deserialize
-    segfaults nondeterministically on this AIR's large programs (observed
-    twice: once in `executable.serialize()` during a cache write, once in
-    deserialization during a cache read; the same test standalone passes).
-    Isolation turns a would-be suite-killing crash into a plain failure and
-    skipping the cache avoids the buggy XLA paths entirely."""
+    Runs in a fresh interpreter: inside a long pytest process, XLA:CPU's
+    executable serialize/deserialize segfaults nondeterministically on this
+    AIR's large programs (observed twice: once in `executable.serialize()`
+    during a cache write, once in deserialization during a cache read; the
+    same test standalone passes every time). Isolation turns a would-be
+    suite-killing crash into a plain failure; the child shares the suite's
+    .jax_cache_cpu so warm reruns stay fast."""
     import os
     import subprocess
     import sys
@@ -152,11 +152,14 @@ def test_lamport_aggregate_device_matches_host():
     env.update({
         "PYTHONPATH": repo,
         "JAX_PLATFORMS": "cpu",
-        "JAX_ENABLE_COMPILATION_CACHE": "false",
         "XLA_FLAGS": (env.get("XLA_FLAGS", "")
                       + " --xla_force_host_platform_device_count=8").strip(),
     })
     code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import os; "
+            "jax.config.update('jax_compilation_cache_dir', "
+            "os.path.join(os.getcwd(), '.jax_cache_cpu')); "
+            "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0); "
             "from tests.test_device_f128_prover import _lamport_device_check; "
             "_lamport_device_check(); print('LAMPORT_PIN_OK')")
     res = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
