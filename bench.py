@@ -152,11 +152,13 @@ def bench_rescue_f128(log2_len: int):
 
 
 def main() -> None:
-    # Default 2^20: the biggest size whose warm-cache wall comfortably fits
-    # the driver's bench timeout (the 2^22 flagship runs ~915 s wall warm —
-    # executable LOADS dominate; see CLAUDE.md). The recorded flagship
-    # 2^22 numbers live in README.md + .tpu_logs/bench_22*.json.
-    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "20"))
+    # Default 2^18: the 2^20 default timed out the round-2 AND round-3
+    # driver benches (rc=124 — warm-cache executable LOADS alone push the
+    # process wall past the driver timeout; see VERDICT.md r3 item 1).
+    # 2^18 is the size whose whole process wall (hydrate + load + warmup +
+    # prove + verify) fit the round-1 driver run with margin. The recorded
+    # flagship 2^20/2^22 numbers live in README.md + .tpu_logs/.
+    log2_len = int(os.environ.get("BENCH_TRACE_LOG2", "18"))
     workload = os.environ.get("BENCH_WORKLOAD", "fib")
 
     # first compile over the remote-compile tunnel is slow (30-120 s per

@@ -7,7 +7,14 @@ cd /root/repo
 LOG=.tpu_logs
 export PALLAS_AXON_REMOTE_COMPILE=1
 
-CUTOFF=$(date -d "07:18" +%s 2>/dev/null || echo 0)
+# Cutoff comes from the caller (absolute epoch seconds or a relative
+# budget) instead of a hardcoded local wall-clock time whose fallback
+# silently skipped every job (round-3 advisor finding).
+if [ -n "${CUTOFF_EPOCH:-}" ]; then
+  CUTOFF=$CUTOFF_EPOCH
+else
+  CUTOFF=$(( $(date +%s) + ${CUTOFF_BUDGET_S:-7200} ))
+fi
 
 # wait (max 90 min) for the r3c chain to release the TPU
 for i in $(seq 1 540); do

@@ -83,7 +83,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.wt_lamport_trace.restype = None
         _lib = lib
         return lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale libwtnative.so missing newly added symbols
+        # (e.g. after a failed rebuild) must degrade to the Python fallback,
+        # not crash callers of available().
         return None
 
 

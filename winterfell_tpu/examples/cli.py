@@ -111,6 +111,29 @@ def get_example(name: str, n: int, options: ProofOptions, hasher, device: bool):
         pks = [k.pub_key() for k in keys]
         prover = _accel_f128(LamportAggregateProver, device)(options, hasher, pks, msgs)
         return prover, build_lamport_trace(msgs, sigs), LamportAggregateAir
+    if name == "lamport_threshold":
+        # reference examples/src/lamport/threshold/mod.rs:70-92 — n signers
+        # (n+1 a power of two), ~2/3 of them sign; here the subset is
+        # deterministic (every signer except each third) instead of random.
+        from .lamport import PrivateKey, message_to_elements
+        from .lamport_threshold import (AggPublicKey, LamportThresholdAir,
+                                        LamportThresholdProver,
+                                        build_threshold_trace)
+        msg = b"test message"
+        keys = [PrivateKey(200 + i) for i in range(n)]
+        pub_key = AggPublicKey([k.pub_key() for k in keys])
+        # signature index refers to the SORTED key order inside AggPublicKey
+        sorted_keys = sorted(range(n), key=lambda i: keys[i].pub_key())
+        signer_indexes = [i for i in range(n) if i % 3 != 2]
+        signatures = [(si, keys[sorted_keys[si]].sign(msg))
+                      for si in signer_indexes]
+        prover = LamportThresholdProver(options, hasher, pub_key,
+                                        message_to_elements(msg),
+                                        len(signatures))
+        return (prover, build_threshold_trace(pub_key,
+                                              message_to_elements(msg),
+                                              signatures),
+                LamportThresholdAir)
     raise SystemExit(f"unknown example: {name}")
 
 
@@ -118,7 +141,7 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="winterfell_tpu example runner")
     parser.add_argument("example", choices=[
         "fib", "fib2", "fib8", "fib_small", "mulfib", "mulfib8", "vdf", "vdfx",
-        "rescue", "rescue_raps", "merkle", "lamport"])
+        "rescue", "rescue_raps", "merkle", "lamport", "lamport_threshold"])
     parser.add_argument("-n", type=int, default=1024,
                         help="size parameter (sequence length / chain length / "
                              "tree depth / #signatures)")
