@@ -489,17 +489,62 @@ def _boundary_divisor_inv(xs, a: int, b0: int):
     return gl.gl_inv(gl.gl_sub(gl.gl_pow_const(xs, a), jnp.uint64(b0)))
 
 
-def _hash_rows_part(rows_2d, psize_base: int):
+def _hash_rows_bytes(rows_2d, psize_base: int, hash_words_fn, dwords: int):
+    """Byte-hasher (BLAKE3/SHA3) row hashing of (m, k) canonical u64 element
+    rows, with PartitionOptions column chunking: chunk digests are combined
+    with merge_many = hash over the concatenated digest bytes
+    (row_matrix.rs:221-228)."""
+    from ..ops.blake3_device import rows_from_u64
+
+    m, k = rows_2d.shape
+    words, byte_len = rows_from_u64(rows_2d)
+    if psize_base >= k:
+        return hash_words_fn(words, byte_len, dwords)
+    digests = []
+    for i in range(0, 2 * k, 2 * psize_base):
+        chunk = words[:, i : i + 2 * psize_base]
+        digests.append(hash_words_fn(chunk, 4 * chunk.shape[1], dwords))
+    joined = jnp.concatenate(digests, axis=1)
+    return hash_words_fn(joined, 4 * joined.shape[1], dwords)
+
+
+def _f64_hasher_entry(hasher):
+    """(kind, row-hash fn, merkle-levels fn, digest words) for every device
+    hasher of the f64 prover. kind "field" hashes element rows in-field
+    (digests are (m, 4) u64); kind "bytes" hashes the canonical LE element
+    bytes as u32 words (BLAKE3/SHA3)."""
+    from ..crypto.hashers import (Blake3_192, Blake3_256, RpJive64_256,
+                                  Sha3_256)
+    from ..ops import blake3_device as b3
+    from ..ops import jive_device as jive
+    from ..ops import sha3_device as s3
+
+    return {
+        Rp64_256: ("field", gl.rp64_hash_rows, gl._merkle_levels_impl, 4),
+        RpJive64_256: ("field", jive.jive_hash_rows,
+                       jive.merkle_levels_jive, 4),
+        Blake3_256: ("bytes", b3.blake3_hash_words,
+                     b3.merkle_levels_blake3, 8),
+        Blake3_192: ("bytes", b3.blake3_hash_words,
+                     b3.merkle_levels_blake3, 6),
+        Sha3_256: ("bytes", s3.sha3_hash_words, s3.merkle_levels_sha3, 8),
+    }[hasher]
+
+
+def _hash_rows_part(rows_2d, psize_base: int, hasher=Rp64_256):
     """Row hashing with PartitionOptions column chunking: each chunk of
     psize_base base columns is hashed separately, then the chunk digests are
     combined with merge_many — identical bytes to the host `_hash_rows`
     (reference row_matrix.rs:184-229)."""
+    kind, hash_fn, _, dwords = _f64_hasher_entry(hasher)
+    if kind == "bytes":
+        return _hash_rows_bytes(rows_2d, psize_base, hash_fn, dwords)
     m, k = rows_2d.shape
     if psize_base >= k:
-        return gl.rp64_hash_rows(rows_2d)
-    digests = [gl.rp64_hash_rows(rows_2d[:, i : i + psize_base])
+        return hash_fn(rows_2d)
+    digests = [hash_fn(rows_2d[:, i : i + psize_base])
                for i in range(0, k, psize_base)]
-    return gl.rp64_hash_rows(jnp.concatenate(digests, axis=1))
+    return hash_fn(jnp.concatenate(digests, axis=1))
 
 
 # above this LDE size the fused commit program exceeds single-chip HBM
@@ -508,16 +553,16 @@ def _hash_rows_part(rows_2d, psize_base: int):
 _FUSE_LIMIT = 1 << 24
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                           n: int, blowup: int, psize: int):
+                           n: int, blowup: int, psize: int, hasher=Rp64_256):
     """Interpolate → coset LDE → row hash, ONE program per matrix shape
     (fuses three dispatches — fewer remote compiles, fewer roundtrips).
     NTT plans and offset powers are runtime arguments (small executables)."""
     polys = gl.ntt_interpolate_body(matrix, inv_plan, n)
     lde = gl.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
     rows_2d = lde.reshape(lde.shape[0], -1)
-    leaves = _hash_rows_part(rows_2d, psize)
+    leaves = _hash_rows_part(rows_2d, psize, hasher)
     return polys, lde, leaves
 
 
@@ -540,21 +585,22 @@ def _lane_interp_lde(matrix, n: int, offset: int, blowup: int):
     return polys, lde
 
 
-def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int):
+def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
+                     hasher=Rp64_256):
     inv_plan = gl.ntt_plan(n, True)
     fwd_plan = gl.ntt_plan(n * blowup, False)
     off_pows = gl._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                                      n, blowup, psize)
+                                      n, blowup, psize, hasher)
     polys, lde = _lane_interp_lde(matrix, n, offset, blowup)
-    leaves = _hash_rows_slabbed(lde, psize)
+    leaves = _hash_rows_slabbed(lde, psize, hasher)
     return polys, lde, leaves
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _hash_rows_split(rows_2d, psize: int):
-    return _hash_rows_part(rows_2d, psize)
+@partial(jax.jit, static_argnums=(1, 2))
+def _hash_rows_split(rows_2d, psize: int, hasher=Rp64_256):
+    return _hash_rows_part(rows_2d, psize, hasher)
 
 
 # Rescue row hashing holds ~8 live state copies per row in XLA fusion temps
@@ -564,40 +610,41 @@ def _hash_rows_split(rows_2d, psize: int):
 _HASH_SLAB = 1 << 21
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _hash_rows_scan(lde, psize: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def _hash_rows_scan(lde, psize: int, hasher=Rp64_256):
     """Slab loop as one lax.scan program: same per-slab peak memory, one
     remote dispatch instead of m/_HASH_SLAB."""
     m = lde.shape[0]
     blocks = lde.reshape((m // _HASH_SLAB, _HASH_SLAB) + lde.shape[1:])
 
     def body(_, slab):
-        return None, _hash_rows_part(slab.reshape(_HASH_SLAB, -1), psize)
+        return None, _hash_rows_part(slab.reshape(_HASH_SLAB, -1), psize,
+                                     hasher)
 
     _, parts = jax.lax.scan(body, None, blocks)
     return parts.reshape(m, -1)
 
 
-def _hash_rows_slabbed(lde, psize: int):
+def _hash_rows_slabbed(lde, psize: int, hasher=Rp64_256):
     """Row-hash an (m, ...) LDE in slabs, flattening each slab's trailing
     dims as part of the slab program: a whole-array (m, k) reshape copy of a
     2^25-row LDE is 1.5 GB of extra residency for the entire hash phase."""
     m = lde.shape[0]
     if m <= _HASH_SLAB:
-        return _hash_rows_split(lde.reshape(m, -1), psize)
+        return _hash_rows_split(lde.reshape(m, -1), psize, hasher)
     if m % _HASH_SLAB == 0:
-        return _hash_rows_scan(lde, psize)
+        return _hash_rows_scan(lde, psize, hasher)
     parts = [
         _hash_rows_split(lde[i : i + _HASH_SLAB].reshape(_HASH_SLAB, -1),
-                         psize)
+                         psize, hasher)
         for i in range(0, m, _HASH_SLAB)]
     return jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
                                 fwd_plan, ce: int, n: int, blowup: int,
-                                num_cols: int, psize: int):
+                                num_cols: int, psize: int, hasher=Rp64_256):
     """Composition commitment: iFFT the CE column, segment the first num_cols
     trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash —
     one program."""
@@ -607,7 +654,7 @@ def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
         coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
     lde = gl.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup)
     rows_2d = lde.reshape(lde.shape[0], -1)
-    leaves = _hash_rows_part(rows_2d, psize)
+    leaves = _hash_rows_part(rows_2d, psize, hasher)
     return comp_columns, lde, leaves
 
 
@@ -620,13 +667,14 @@ def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
 
 
 def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
-                          num_cols: int, psize: int):
+                          num_cols: int, psize: int, hasher=Rp64_256):
     interp_pows = gl.interp_offset_powers(ce, offset)
     inv_plan = gl.ntt_plan(ce, True)
     if n * blowup < _FUSE_LIMIT:
         return _comp_commit_pipeline_fused(
             ce_column, interp_pows, inv_plan, gl._power_series_dev(offset, n),
-            gl.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize)
+            gl.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
+            hasher)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n)
     rest = comp_columns.shape[1:]
@@ -635,7 +683,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
                                              blowup)
                  for j in range(flat.shape[1])]
     lde = jnp.concatenate(lde_lanes, axis=1).reshape((n * blowup,) + rest)
-    leaves = _hash_rows_slabbed(lde, psize)
+    leaves = _hash_rows_slabbed(lde, psize, hasher)
     return comp_columns, lde, leaves
 
 
@@ -710,20 +758,22 @@ def _deep_combine_slabbed(comp_z, comp_gz, z_arr, zg_arr, xs):
     return jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _fri_layer_commit(evaluations, n_fold: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def _fri_layer_commit(evaluations, n_fold: int, hasher=Rp64_256):
     """Transpose a FRI layer into N-value rows, hash, Merkle-reduce — one
     program per layer shape (fri/src/prover/mod.rs:202-222)."""
     n, d = evaluations.shape
     rows = n // n_fold
     transposed = jnp.swapaxes(evaluations.reshape(n_fold, rows, d), 0, 1)
-    leaves = gl.rp64_hash_rows(transposed.reshape(rows, n_fold * d))
+    rows_2d = transposed.reshape(rows, n_fold * d)
+    leaves = _hash_rows_part(rows_2d, rows_2d.shape[1], hasher)
     return transposed, leaves
 
 
 class GoldilocksProver(Prover):
-    """Drop-in Prover for f64 AIRs with the Rp64_256 hasher. Subclass or wrap
-    an existing prover class via ``accelerate``.
+    """Drop-in Prover for f64 AIRs with Rp64_256, BLAKE3 or SHA3 commitments
+    (any-hasher support mirrors prover/src/lib.rs:125). Subclass or wrap an
+    existing prover class via ``accelerate``.
 
     Setting ``mesh`` (a ``jax.sharding.Mesh``) makes the whole pipeline run
     SPMD over the mesh: the domain-sized arrays (trace, LDEs, CE column, DEEP
@@ -766,9 +816,13 @@ class GoldilocksProver(Prover):
         pub_inputs = self.get_pub_inputs(trace)
         air = self.air_class(trace.info(), pub_inputs, self.options)
         assert air.base is F64, "GoldilocksProver requires the f64 base field"
-        assert self.hasher is Rp64_256, (
-            "GoldilocksProver requires the Rp64_256 hasher (device row hashing)"
-        )
+        try:
+            hentry = _f64_hasher_entry(self.hasher)
+        except KeyError:
+            raise AssertionError(
+                "GoldilocksProver requires a Rp64_256, RpJive64_256, BLAKE3 "
+                "or SHA3 hasher (device row hashing)") from None
+        self._levels_fn = hentry[2]
         channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
         phases = tracing.Phases("device_prove")
 
@@ -799,9 +853,10 @@ class GoldilocksProver(Prover):
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
-            main_dev, n, offset, blowup, part.partition_size(w, 1))
+            main_dev, n, offset, blowup, part.partition_size(w, 1),
+            self.hasher)
         main_lde = self._shard_rows(main_lde)
-        main_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
+        main_tree = self._make_tree(leaves, self._levels_fn(leaves))
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
 
@@ -815,9 +870,10 @@ class GoldilocksProver(Prover):
             aux_dev = self._shard_rows(gl.to_device(aux_obj))  # (n, w_aux, d)
             w_aux = aux_dev.shape[1]
             aux_polys, aux_lde, leaves = _commit_pipeline(
-                aux_dev, n, offset, blowup, part.partition_size(w_aux, d) * d)
+                aux_dev, n, offset, blowup,
+                part.partition_size(w_aux, d) * d, self.hasher)
             aux_lde = self._shard_rows(aux_lde)
-            aux_tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
+            aux_tree = self._make_tree(leaves, self._levels_fn(leaves))
             channel.commit_trace(aux_tree.root)
 
         # 2 ----- constraint evaluation -------------------------------------
@@ -831,13 +887,13 @@ class GoldilocksProver(Prover):
         num_cols = air.context.num_constraint_composition_columns()
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
-            part.partition_size(num_cols, d) * d)
+            part.partition_size(num_cols, d) * d, self.hasher)
         del ce_column  # (ce, d) — dead from here; frees HBM at huge sizes
         comp_lde = self._shard_rows(comp_lde)
         if _MEMLOG:
             leaves.block_until_ready()
             phases.mark("memlog_comp_pipeline")
-        comp_levels = gl._merkle_levels_impl(leaves)
+        comp_levels = self._levels_fn(leaves)
         if _MEMLOG:
             comp_levels[-1].block_until_ready()
             phases.mark("memlog_comp_merkle_levels")
@@ -898,8 +954,9 @@ class GoldilocksProver(Prover):
         fri_layers = []  # (tree, transposed_np (rows, N, d))
         evaluations = deep_evaluations
         for _ in range(fri_options.num_fri_layers(lde_size)):
-            transposed, leaves = _fri_layer_commit(evaluations, n_fold)
-            tree = self._make_tree(leaves, gl._merkle_levels_impl(leaves))
+            transposed, leaves = _fri_layer_commit(evaluations, n_fold,
+                                                   self.hasher)
+            tree = self._make_tree(leaves, self._levels_fn(leaves))
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
             evaluations = self._shard_rows(gl.fri_fold(
