@@ -151,6 +151,64 @@ def bench_rescue_f128(log2_len: int):
     return info, spans, lde, ntt_cols, dt
 
 
+def bench_lamport(n_sigs: int):
+    """Reference headline table #2: Lamport+ aggregate signature proving
+    (README.md Lamport rows; examples default options 28 queries, blowup 8,
+    grinding 16, no extension, folding 8 — examples/src/lamport/aggregate/
+    mod.rs:39 + lib.rs:96-105). Width-22 f128 AIR, 1024 trace rows/sig."""
+    from winterfell_tpu.air import FieldExtension, ProofOptions
+    from winterfell_tpu.crypto.hashers import Blake3_256
+    from winterfell_tpu.examples.lamport import (
+        LamportAggregateAir,
+        LamportAggregateProver,
+        LamportPublicInputs,
+        PrivateKey,
+        build_lamport_trace,
+        message_to_elements,
+    )
+    from winterfell_tpu.prover.device_f128 import F128Prover
+    from winterfell_tpu.verifier import verify
+
+    options = ProofOptions(
+        num_queries=28, blowup_factor=8, grinding_factor=16,
+        field_extension=FieldExtension.NONE,
+        fri_folding_factor=8, fri_remainder_max_degree=31,
+    )
+    keys = [PrivateKey(i) for i in range(n_sigs)]
+    msgs = [message_to_elements(f"test message {i}".encode())
+            for i in range(n_sigs)]
+    sigs = [k.sign(f"test message {i}".encode())
+            for i, k in enumerate(keys)]
+    pks = [k.pub_key() for k in keys]
+    prover = F128Prover.accelerate(LamportAggregateProver)(
+        options, Blake3_256, pks, msgs)
+    trace = build_lamport_trace(msgs, sigs)
+
+    prover.prove(trace)  # warmup
+
+    from winterfell_tpu.utils import tracing
+
+    t0 = time.time()
+    proof = prover.prove(trace)
+    dt = time.time() - t0
+    spans = tracing.last_spans()
+
+    verify(LamportAggregateAir, proof,
+           LamportPublicInputs(tuple(pks), tuple(msgs)), Blake3_256)
+
+    # reference README.md Lamport table, proving-time column (8-core i9)
+    baselines = {64: 1.2, 128: 2.6, 256: 5.3, 512: 10.9, 1024: 20.5}
+    lde = 1024 * n_sigs * options.blowup_factor
+    ntt_cols = 2 * 22 + 2 * 2 + 1 + 2
+    info = {
+        "metric": f"lamport_aggregate_{n_sigs}sigs_blake3_prover_wall_clock",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(dt / baselines.get(n_sigs, 20.5), 4),
+    }
+    return info, spans, lde, ntt_cols, dt
+
+
 def main() -> None:
     # Default 2^18: the 2^20 default timed out the round-2 AND round-3
     # driver benches (rc=124 — warm-cache executable LOADS alone push the
@@ -176,6 +234,9 @@ def main() -> None:
 
     if workload == "rescue_f128":
         info, spans, lde, ntt_cols, dt = bench_rescue_f128(log2_len)
+    elif workload == "lamport":
+        n_sigs = int(os.environ.get("BENCH_SIGS", "256"))
+        info, spans, lde, ntt_cols, dt = bench_lamport(n_sigs)
     else:
         info, spans, lde, ntt_cols, dt = bench_fib(log2_len)
 
