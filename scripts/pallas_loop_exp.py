@@ -110,10 +110,16 @@ def hash_rows_loop(ark, lo, hi, blk_lanes, interpret=False):
     blk = min(blk_lanes, lanes)
     spec_in = pl.BlockSpec((k, 8, blk), lambda i: (0 * i, 0 * i, i))
     spec_out = pl.BlockSpec((4, 8, blk), lambda i: (0 * i, 0 * i, i))
+    # SMEM spec needs an explicit index_map: the default one returns plain
+    # zeros that trace as i64 under jax_enable_x64, and Mosaic cannot
+    # legalize the resulting i64 func.return on the scalar core
+    spec_ark = pl.BlockSpec((7, 2, 12, 2),
+                            lambda i: (0 * i, 0 * i, 0 * i, 0 * i),
+                            memory_space=pltpu.SMEM)
     return pl.pallas_call(
         partial(_hash_rows_kernel_loop, k),
         grid=(lanes // blk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec_in, spec_in],
+        in_specs=[spec_ark, spec_in, spec_in],
         out_specs=(spec_out, spec_out),
         out_shape=(jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32),
                    jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32)),

@@ -18,7 +18,7 @@ from winterfell_tpu.examples.fibonacci import (
     compute_fib_term,
 )
 from winterfell_tpu.math.fields import F64
-from winterfell_tpu.parallel import make_mesh
+from winterfell_tpu.parallel import make_mesh, make_mesh_2d
 from winterfell_tpu.prover.device import GoldilocksProver
 from winterfell_tpu.verifier import verify
 
@@ -36,6 +36,27 @@ def test_sharded_prove_bytes_equal_single_device(n_devices):
     sharded_prover = DeviceFib(options, Rp64_256).with_mesh(
         make_mesh(n_devices))
     sharded = sharded_prover.prove(trace)
+
+    assert sharded.to_bytes() == single.to_bytes()
+    verify(FibSmallAir, sharded, compute_fib_term(F64, seq), Rp64_256)
+
+
+def test_sharded_prove_2d_mesh_bytes_equal_single_device():
+    """Full prove() over a 2-D (host × chip) mesh: rows sharded over both
+    axes AND the six-step NTT intermediates pinned so each big NTT is
+    local sub-NTTs around one transposing all-to-all (the host axis models
+    the DCN boundary — SCALING.md). Bytes must equal the single-device
+    prover's."""
+    assert len(jax.devices()) >= 8
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    seq = 2 * (1 << 12)
+    trace = build_fib_trace(F64, seq)
+
+    single = DeviceFib(options, Rp64_256).prove(build_fib_trace(F64, seq))
+    mesh = make_mesh_2d(2, 4)
+    prover = DeviceFib(options, Rp64_256).with_mesh(mesh)
+    assert prover._ntt_shard is not None  # six-step shardings active
+    sharded = prover.prove(trace)
 
     assert sharded.to_bytes() == single.to_bytes()
     verify(FibSmallAir, sharded, compute_fib_term(F64, seq), Rp64_256)

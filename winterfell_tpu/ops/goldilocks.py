@@ -322,7 +322,22 @@ def ntt_plan(n: int, inverse: bool):
             ntt_plan(a, inverse))
 
 
-def _ntt_core(x, n: int, inverse: bool, plan):
+def _shard_six_step(arr, shard):
+    """Explicit GSPMD constraint for the six-step intermediates: the (b, a)
+    matrix is sharded on its COLUMN axis over the (host × chip) mesh, so the
+    per-column sub-NTTs are device-local and the swapaxes between them is
+    ONE all-to-all (whose host-axis component is the only DCN traffic of the
+    transform) — the distributed-FFT recipe of SURVEY §5.8 / SCALING.md."""
+    if shard is None:
+        return arr
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, axes = shard
+    spec = PartitionSpec(None, axes, *(None,) * (arr.ndim - 2))
+    return jax.lax.with_sharding_constraint(arr, NamedSharding(mesh, spec))
+
+
+def _ntt_core(x, n: int, inverse: bool, plan, shard=None):
     """x: (n, ...) u64 → NTT/iNTT without the 1/n scale, natural order in/out.
 
     Small sizes: unrolled radix-2 DIT with constant per-stage twiddles.
@@ -330,7 +345,9 @@ def _ntt_core(x, n: int, inverse: bool, plan):
     math/src/fft/concurrent.rs:132-171 is the reference's shared-memory
     analogue): view as (b, a), b-point NTTs down the columns, multiply by the
     (b, a) middle twiddle matrix w^(j1·k2) (a device-built plan argument),
-    transpose, a-point NTTs, flatten."""
+    transpose, a-point NTTs, flatten. ``shard`` (mesh, axes) pins the
+    six-step intermediates' shardings for multi-chip runs (see
+    _shard_six_step)."""
     if n == 1:
         return x
     if n <= _SMALL_NTT:
@@ -340,7 +357,7 @@ def _ntt_core(x, n: int, inverse: bool, plan):
     rest = x.shape[1:]
     b, a = mid_tw.shape
 
-    m = x.reshape((b, a) + rest)
+    m = _shard_six_step(x.reshape((b, a) + rest), shard)
     y = _ntt_core(m, b, inverse, inner_plan)  # (b, a, ...)
     # broadcasted elementwise multiply: XLA flattens pure-elementwise ops
     # regardless of logical layout (measured, scripts/f64_layout_ab.py), so
@@ -348,7 +365,7 @@ def _ntt_core(x, n: int, inverse: bool, plan):
     # instead OOMed the fused 2^20 commit program
     y = gl_mul(y, mid_tw.reshape((b, a) + (1,) * len(rest)))
 
-    z = jnp.swapaxes(y, 0, 1)  # (a, b, ...)
+    z = _shard_six_step(jnp.swapaxes(y, 0, 1), shard)  # (a, b, ...)
     out = _ntt_core(z, a, inverse, outer_plan)
     return out.reshape((n,) + rest)
 
@@ -402,17 +419,18 @@ def _powers_np(s: int, n: int, scale: int = 1) -> np.ndarray:
 # ---- traceable NTT bodies (plans/powers as arguments) -------------------------
 
 
-def ntt_evaluate_body(coeffs, plan, n: int):
-    return _ntt_core(coeffs, n, inverse=False, plan=plan)
+def ntt_evaluate_body(coeffs, plan, n: int, shard=None):
+    return _ntt_core(coeffs, n, inverse=False, plan=plan, shard=shard)
 
 
-def ntt_interpolate_body(evals, plan, n: int):
-    coeffs = _ntt_core(evals, n, inverse=True, plan=plan)
+def ntt_interpolate_body(evals, plan, n: int, shard=None):
+    coeffs = _ntt_core(evals, n, inverse=True, plan=plan, shard=shard)
     inv_n = pow(n, P - 2, P)
     return gl_mul(coeffs, jnp.uint64(inv_n))
 
 
-def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int):
+def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int,
+                 shard=None):
     """Coset LDE body: scale coeffs by the offset power series (a device
     argument), zero-pad to n·blowup, one big NTT (matches
     winterfell_tpu.math.ntt.evaluate_poly_with_offset value-for-value)."""
@@ -422,13 +440,13 @@ def ntt_lde_body(coeffs, off_pows, plan, n: int, blowup: int):
     padded = jnp.concatenate(
         [scaled, jnp.zeros((big_n - n,) + coeffs.shape[1:], dtype=jnp.uint64)],
         axis=0)
-    return _ntt_core(padded, big_n, inverse=False, plan=plan)
+    return _ntt_core(padded, big_n, inverse=False, plan=plan, shard=shard)
 
 
-def ntt_interp_offset_body(evals, inv_off_pows, plan, n: int):
+def ntt_interp_offset_body(evals, inv_off_pows, plan, n: int, shard=None):
     """iNTT + combined (1/n)·offset^-i scale (the scale is folded into the
     power-series argument — one multiply pass instead of two)."""
-    coeffs = _ntt_core(evals, n, inverse=True, plan=plan)
+    coeffs = _ntt_core(evals, n, inverse=True, plan=plan, shard=shard)
     rest_dims = coeffs.ndim - 1
     return gl_mul(coeffs, inv_off_pows.reshape((n,) + (1,) * rest_dims))
 

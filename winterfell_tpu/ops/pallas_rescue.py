@@ -48,6 +48,15 @@ _RATE_WIDTH = 8
 
 _LANE_BLOCK = 512  # lanes per grid step (8·512 = 4096 rows); VMEM use ~4 MB
 
+# fori_loop over the 7 rounds with the ARK constants in SMEM instead of 7
+# unrolled rounds with literal constants: ~7x less VLIW code per kernel
+# (the unrolled hash kernels serialize to ~40 MB executables whose loads
+# dominate warm start on the remote tunnel, and whose code streams from
+# HBM every grid step). WINTER_PALLAS_LOOP=0 forces the unrolled form.
+import os as _os
+
+_LOOP_MODE = _os.environ.get("WINTER_PALLAS_LOOP", "1") not in ("", "0")
+
 
 def _u32(v):
     return jnp.uint32(v)
@@ -402,6 +411,58 @@ def _permutation(state):
     return _canon(state)
 
 
+# ---- fori-loop-over-rounds variant (ARK in SMEM) ----------------------------
+#
+# Same math, but the round body is traced ONCE and the ARK constants are
+# scalar loads from an SMEM operand — the round constants can't be vector
+# literals here (Mosaic can't index a vector operand's lane dim dynamically),
+# and scalar loads from SMEM are free next to the ~150 vector multiplies of
+# a round.
+
+
+def _mds_freq_stacked_scalars(st, ark_pairs):
+    """MDS + add-round-constants where ark_pairs is a list of 12 (lo, hi)
+    traced SCALAR pairs (SMEM reads) instead of Python-int literals."""
+    lo, hi = st
+    lanes = [(lo[k : k + 1], hi[k : k + 1]) for k in range(12)]
+    out = _mds_freq(lanes, None)
+    out2 = [_gl_add(lane, ark_pairs[k], lazy=True)
+            for k, lane in enumerate(out)]
+    return (jnp.concatenate([o[0] for o in out2], axis=0),
+            jnp.concatenate([o[1] for o in out2], axis=0))
+
+
+def _permutation_loop(state, ark_ref):
+    """ark_ref: SMEM (7, 2, 12, 2) u32 — [round, ark1/2, lane, lo/hi]."""
+
+    def body(r, st):
+        a1 = [(ark_ref[r, 0, k, 0], ark_ref[r, 0, k, 1]) for k in range(12)]
+        a2 = [(ark_ref[r, 1, k, 0], ark_ref[r, 1, k, 1]) for k in range(12)]
+        st = _sbox(st)
+        st = _mds_freq_stacked_scalars(st, a1)
+        st = _inv_sbox(st)
+        st = _mds_freq_stacked_scalars(st, a2)
+        return st
+
+    # i32 bounds: under jax_enable_x64 the induction variable would be i64,
+    # which Mosaic cannot legalize on the TPU scalar core
+    state = jax.lax.fori_loop(jnp.int32(0), jnp.int32(_NUM_ROUNDS), body,
+                              state)
+    return _canon(state)
+
+
+@lru_cache(maxsize=None)
+def _ark_array_np() -> np.ndarray:
+    a = np.zeros((_NUM_ROUNDS, 2, 12, 2), dtype=np.uint32)
+    for r in range(_NUM_ROUNDS):
+        for k in range(12):
+            for j, table in enumerate((RP64_256_ARK1, RP64_256_ARK2)):
+                v = int(table[r][k])
+                a[r, j, k, 0] = v & 0xFFFFFFFF
+                a[r, j, k, 1] = v >> 32
+    return a
+
+
 # ---- kernels ----------------------------------------------------------------
 
 
@@ -441,6 +502,40 @@ def _hash_rows_kernel(k: int, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
     out_lo_ref[:], out_hi_ref[:] = _hash_rows_block(k, lo_ref[:], hi_ref[:])
 
 
+def _hash_rows_block_loop(k: int, ark_ref, lo, hi):
+    """_hash_rows_block with the fori-loop permutation (ARK from SMEM)."""
+    blk = lo.shape[2]
+    zeros = jnp.zeros((1, 8, blk), dtype=jnp.uint32)
+    kmod = k % P
+    first = min(k, _RATE_WIDTH)
+    pad = _RATE_WIDTH - first
+    cap_lo = [zeros + _u32(kmod & 0xFFFFFFFF)] + [zeros] * 3
+    cap_hi = [zeros + _u32(kmod >> 32)] + [zeros] * 3
+    st_lo = jnp.concatenate(cap_lo + [lo[:first]] + [zeros] * pad, axis=0)
+    st_hi = jnp.concatenate(cap_hi + [hi[:first]] + [zeros] * pad, axis=0)
+    state = _permutation_loop((st_lo, st_hi), ark_ref)
+    i = _RATE_WIDTH
+    while i < k:
+        width = min(_RATE_WIDTH, k - i)
+        slo, shi = state
+        rate = _gl_add((slo[4 : 4 + width], shi[4 : 4 + width]),
+                       (lo[i : i + width], hi[i : i + width]))
+        tail = _RATE_START + width
+        lo_parts = [slo[:4], rate[0]] + ([slo[tail:]] if tail < 12 else [])
+        hi_parts = [shi[:4], rate[1]] + ([shi[tail:]] if tail < 12 else [])
+        state = _permutation_loop(
+            (jnp.concatenate(lo_parts, axis=0),
+             jnp.concatenate(hi_parts, axis=0)), ark_ref)
+        i += _RATE_WIDTH
+    return state[0][4:8], state[1][4:8]
+
+
+def _hash_rows_kernel_loop(k: int, ark_ref, lo_ref, hi_ref, out_lo_ref,
+                           out_hi_ref):
+    out_lo_ref[:], out_hi_ref[:] = _hash_rows_block_loop(
+        k, ark_ref, lo_ref[:], hi_ref[:])
+
+
 def _merge_rows_block(l_lo, l_hi, r_lo, r_hi):
     """merge(d0, d1): capacity[0] = 8, state = d0 ‖ d1, one permutation
     (rp64_256/mod.rs:208-221). Pure jnp on plane arrays."""
@@ -456,6 +551,18 @@ def _merge_rows_block(l_lo, l_hi, r_lo, r_hi):
 def _merge_rows_kernel(l_lo, l_hi, r_lo, r_hi, out_lo_ref, out_hi_ref):
     out_lo_ref[:], out_hi_ref[:] = _merge_rows_block(
         l_lo[:], l_hi[:], r_lo[:], r_hi[:])
+
+
+def _merge_rows_kernel_loop(ark_ref, l_lo, l_hi, r_lo, r_hi, out_lo_ref,
+                            out_hi_ref):
+    l_lo, l_hi, r_lo, r_hi = l_lo[:], l_hi[:], r_lo[:], r_hi[:]
+    blk = l_lo.shape[2]
+    zeros = jnp.zeros((1, 8, blk), dtype=jnp.uint32)
+    st_lo = jnp.concatenate(
+        [zeros + _u32(_RATE_WIDTH)] + [zeros] * 3 + [l_lo, r_lo], axis=0)
+    st_hi = jnp.concatenate([zeros] * 4 + [l_hi, r_hi], axis=0)
+    state = _permutation_loop((st_lo, st_hi), ark_ref)
+    out_lo_ref[:], out_hi_ref[:] = state[0][4:8], state[1][4:8]
 
 
 def _split_planes(rows):
@@ -474,12 +581,33 @@ def _join_planes(lo, hi):
             | (hi.astype(jnp.uint64) << jnp.uint64(32))).reshape(-1, m).T
 
 
+def _ark_spec():
+    """SMEM BlockSpec for the (7, 2, 12, 2) ARK operand. The index_map must
+    be explicit: the default returns plain zeros that trace as i64 under
+    jax_enable_x64, which Mosaic cannot legalize on the scalar core."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((_NUM_ROUNDS, 2, 12, 2),
+                        lambda i: (0 * i, 0 * i, 0 * i, 0 * i),
+                        memory_space=pltpu.SMEM)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _hash_rows_call(lo, hi, interpret: bool):
     k, _, lanes = lo.shape
     blk = min(_LANE_BLOCK, lanes)
     spec_in = pl.BlockSpec((k, 8, blk), lambda i: (0 * i, 0 * i, i))
     spec_out = pl.BlockSpec((4, 8, blk), lambda i: (0 * i, 0 * i, i))
+    if _LOOP_MODE:
+        return pl.pallas_call(
+            partial(_hash_rows_kernel_loop, k),
+            grid=(lanes // blk,),
+            in_specs=[_ark_spec(), spec_in, spec_in],
+            out_specs=(spec_out, spec_out),
+            out_shape=(jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32),
+                       jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32)),
+            interpret=interpret,
+        )(jnp.asarray(_ark_array_np()), lo, hi)
     return pl.pallas_call(
         partial(_hash_rows_kernel, k),
         grid=(lanes // blk,),
@@ -505,6 +633,16 @@ def _merge_rows_call(l_lo, l_hi, r_lo, r_hi, interpret: bool):
     _, _, lanes = l_lo.shape
     blk = min(_LANE_BLOCK, lanes)
     spec = pl.BlockSpec((4, 8, blk), lambda i: (0 * i, 0 * i, i))
+    if _LOOP_MODE:
+        return pl.pallas_call(
+            _merge_rows_kernel_loop,
+            grid=(lanes // blk,),
+            in_specs=[_ark_spec(), spec, spec, spec, spec],
+            out_specs=(spec, spec),
+            out_shape=(jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32),
+                       jax.ShapeDtypeStruct((4, 8, lanes), jnp.uint32)),
+            interpret=interpret,
+        )(jnp.asarray(_ark_array_np()), l_lo, l_hi, r_lo, r_hi)
     return pl.pallas_call(
         _merge_rows_kernel,
         grid=(lanes // blk,),

@@ -169,7 +169,7 @@ class _DigestView:
     rows (Rescue ElementDigest) or (n, 8)/(n, 6) uint32 rows (BLAKE3) — the
     LE word rows are exactly the digest byte layouts."""
 
-    __slots__ = ("arr", "_n", "_host", "_wdtype", "_nbytes")
+    __slots__ = ("arr", "_n", "_host", "_wdtype", "_nbytes", "_prefetched")
 
     def __init__(self, arr, nbytes: Optional[int] = None):
         self.arr = arr
@@ -179,6 +179,15 @@ class _DigestView:
         # digest byte length when shorter than the word row (Rp62_248 packs
         # 248 bits into 8 words — the 32nd byte is a pad the host trims)
         self._nbytes = nbytes
+        self._prefetched = False
+
+    def prefetch_async(self) -> None:
+        """Start the device→host copy of ALL digests now (non-blocking);
+        queries then resolve from the host copy with zero device dispatches
+        (see PrehashedMerkleTree.prefetch_async)."""
+        if hasattr(self.arr, "copy_to_host_async"):
+            self.arr.copy_to_host_async()
+        self._prefetched = True
 
     def __len__(self) -> int:
         return self._n
@@ -190,7 +199,8 @@ class _DigestView:
         return self._host
 
     def __getitem__(self, i) -> bytes:
-        if self._host is not None or self._n <= _PULL_THRESHOLD:
+        if (self._host is not None or self._prefetched
+                or self._n <= _PULL_THRESHOLD):
             return self._host_all()[int(i)].tobytes()[: self._nbytes]
         row = _padded_take(self.arr, [int(i)])
         return np.ascontiguousarray(
@@ -202,7 +212,8 @@ class _DigestView:
         link before converting any of them."""
         if not indexes:
             return None
-        if self._host is not None or self._n <= _PULL_THRESHOLD:
+        if (self._host is not None or self._prefetched
+                or self._n <= _PULL_THRESHOLD):
             if self._host is None and hasattr(self.arr, "copy_to_host_async"):
                 self.arr.copy_to_host_async()
             return None
@@ -239,7 +250,7 @@ class _HeapNodesView:
     the handful of per-level-size gather programs is shared."""
 
     __slots__ = ("levels", "_n", "_w", "_host_levels", "_wdtype", "_nbytes",
-                 "_flat")
+                 "_flat", "_prefetched")
 
     def __init__(self, levels: dict, num_leaves: int,
                  nbytes: Optional[int] = None):
@@ -251,6 +262,15 @@ class _HeapNodesView:
         self._wdtype = "<u4" if first.dtype == np.uint32 else "<u8"
         self._nbytes = nbytes
         self._flat = None
+        self._prefetched = False
+
+    def prefetch_async(self) -> None:
+        """Start device→host copies of EVERY level now (non-blocking);
+        node reads then resolve entirely from the host copies."""
+        for lvl in self.levels.values():
+            if hasattr(lvl, "copy_to_host_async"):
+                lvl.copy_to_host_async()
+        self._prefetched = True
 
     def __len__(self) -> int:
         return self._n
@@ -279,7 +299,10 @@ class _HeapNodesView:
 
     def _take_start(self, nodes):
         """Dispatch the flat-heap gather asynchronously (None = the by-size
-        fallback path, resolved synchronously at finish)."""
+        fallback path, resolved synchronously at finish — free when the
+        levels were prefetched to host at tree-build time)."""
+        if self._prefetched:
+            return None
         w = self._w
         if self._n <= _HEAP_FLAT_LIMIT and len(nodes) > 4:
             word_idx = ((np.asarray(nodes, dtype=np.int64) - 1)[:, None] * w
@@ -299,7 +322,7 @@ class _HeapNodesView:
             size = 1 << (int(i).bit_length() - 1)
             by_size.setdefault(size, []).append((k, int(i) - size))
         for size, entries in by_size.items():
-            if size <= _PULL_THRESHOLD:
+            if self._prefetched or size <= _PULL_THRESHOLD:
                 host = self._host_level(size)
                 for k, off in entries:
                     out[k] = host[off]
@@ -365,6 +388,15 @@ class _DictView:
         return self.data[int(i)]
 
 
+# Trees at or below this leaf count are copied to the host IN FULL, with
+# async transfers started at tree-BUILD time: by the query phase every
+# digest is host-resident and proof assembly costs ZERO device dispatches.
+# (A 2^18-leaf tree is ~8 MB of digests; transfers overlap the remaining
+# prove compute and compile nothing on the remote tunnel. Above this the
+# per-query flat gather wins — a 2^25-leaf tree holds 1 GiB of nodes.)
+_TREE_PREFETCH = 1 << 18
+
+
 class PrehashedMerkleTree(MerkleTree):
     """MerkleTree over digests hashed on-device; reuses the host proof logic.
 
@@ -372,12 +404,21 @@ class PrehashedMerkleTree(MerkleTree):
     and node digests the Octopus algorithm touches (the access pattern depends
     only on indexes, not values), then ONE batched device gather per array,
     then the real pass over the prefetched bytes. This turns thousands of
-    per-digest tunnel roundtrips into a handful."""
+    per-digest tunnel roundtrips into a handful. Small-to-medium trees skip
+    even that: ``prefetch_async`` (called at build time) streams the whole
+    tree to the host in the background, so the query phase is pure host
+    work."""
 
     def __init__(self, leaves_view, nodes_view, hasher):
         self.leaves = leaves_view
         self.hasher = hasher
         self.nodes = nodes_view
+
+    def prefetch_async(self) -> None:
+        if hasattr(self.leaves, "prefetch_async"):
+            self.leaves.prefetch_async()
+        if hasattr(self.nodes, "prefetch_async"):
+            self.nodes.prefetch_async()
 
     def prove_batch_start(self, indexes):
         """Recording pass + async dispatch of the digest gathers. Callers
@@ -467,6 +508,20 @@ def _eval_cols_ext(polys, pows):
     return _gl_sum(prod, axis=0)
 
 
+@jax.jit
+def _eval_cols_pair(polys, pows2):
+    """Both OOD points in one program: pows2 (n, 2, d) stacks the z and z·g
+    power tables; returns (k, 2, d). Halves OOD dispatches and pulls."""
+    if polys.ndim == 2:  # base columns (n, k)
+        prod = gl.gl_mul(polys[:, :, None, None], pows2[:, None, :, :])
+    else:  # ext columns (n, k, d)
+        prod = gl.ext_mul(
+            polys[:, :, None, :],
+            jnp.broadcast_to(pows2[:, None],
+                             polys.shape[:2] + pows2.shape[1:]))
+    return _gl_sum(prod, axis=0)
+
+
 def _ext_scalar(e: tuple):
     return jnp.asarray(np.array([list(e)], dtype=np.uint64))
 
@@ -553,14 +608,17 @@ def _hash_rows_part(rows_2d, psize_base: int, hasher=Rp64_256):
 _FUSE_LIMIT = 1 << 24
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                           n: int, blowup: int, psize: int, hasher=Rp64_256):
+                           n: int, blowup: int, psize: int, hasher=Rp64_256,
+                           shard=None):
     """Interpolate → coset LDE → row hash, ONE program per matrix shape
     (fuses three dispatches — fewer remote compiles, fewer roundtrips).
-    NTT plans and offset powers are runtime arguments (small executables)."""
-    polys = gl.ntt_interpolate_body(matrix, inv_plan, n)
-    lde = gl.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
+    NTT plans and offset powers are runtime arguments (small executables).
+    ``shard`` (mesh, axes) pins the six-step NTT intermediates' shardings
+    on a 2-D (host × chip) mesh (gl._shard_six_step)."""
+    polys = gl.ntt_interpolate_body(matrix, inv_plan, n, shard)
+    lde = gl.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup, shard)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = _hash_rows_part(rows_2d, psize, hasher)
     return polys, lde, leaves
@@ -586,13 +644,13 @@ def _lane_interp_lde(matrix, n: int, offset: int, blowup: int):
 
 
 def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
-                     hasher=Rp64_256):
+                     hasher=Rp64_256, shard=None):
     inv_plan = gl.ntt_plan(n, True)
     fwd_plan = gl.ntt_plan(n * blowup, False)
     off_pows = gl._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                                      n, blowup, psize, hasher)
+                                      n, blowup, psize, hasher, shard)
     polys, lde = _lane_interp_lde(matrix, n, offset, blowup)
     leaves = _hash_rows_slabbed(lde, psize, hasher)
     return polys, lde, leaves
@@ -641,18 +699,20 @@ def _hash_rows_slabbed(lde, psize: int, hasher=Rp64_256):
     return jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
                                 fwd_plan, ce: int, n: int, blowup: int,
-                                num_cols: int, psize: int, hasher=Rp64_256):
+                                num_cols: int, psize: int, hasher=Rp64_256,
+                                shard=None):
     """Composition commitment: iFFT the CE column, segment the first num_cols
     trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash —
     one program."""
-    coeffs = gl.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
+    coeffs = gl.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce,
+                                       shard)
     d = ce_column.shape[-1]
     comp_columns = jnp.swapaxes(
         coeffs[: num_cols * n].reshape(num_cols, n, d), 0, 1)
-    lde = gl.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup)
+    lde = gl.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup, shard)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = _hash_rows_part(rows_2d, psize, hasher)
     return comp_columns, lde, leaves
@@ -667,14 +727,15 @@ def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
 
 
 def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
-                          num_cols: int, psize: int, hasher=Rp64_256):
+                          num_cols: int, psize: int, hasher=Rp64_256,
+                          shard=None):
     interp_pows = gl.interp_offset_powers(ce, offset)
     inv_plan = gl.ntt_plan(ce, True)
     if n * blowup < _FUSE_LIMIT:
         return _comp_commit_pipeline_fused(
             ce_column, interp_pows, inv_plan, gl._power_series_dev(offset, n),
             gl.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
-            hasher)
+            hasher, shard)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n)
     rest = comp_columns.shape[1:]
@@ -793,11 +854,29 @@ class GoldilocksProver(Prover):
         """Builds a device-accelerated subclass of a host Prover class."""
         return type(f"Goldilocks{prover_cls.__name__}", (cls, prover_cls), {})
 
-    def with_mesh(self, mesh, axis: str = "x"):
-        """Enable SPMD proving over ``mesh`` (returns self for chaining)."""
+    def with_mesh(self, mesh, axis=None):
+        """Enable SPMD proving over ``mesh`` (returns self for chaining).
+
+        A 1-D mesh row-shards every domain-sized array over its single
+        axis. A 2-D (host × chip) mesh (parallel.make_mesh_2d) row-shards
+        over BOTH axes flattened AND pins the six-step NTT intermediates'
+        shardings so each transform is two batches of device-local
+        sub-NTTs around ONE transposing all-to-all whose host-axis
+        component is the only DCN traffic (SCALING.md's distributed-NTT
+        recipe, the TPU answer to math/src/fft/concurrent.rs:132-171)."""
         self.mesh = mesh
+        if axis is None:
+            axis = (mesh.axis_names[0] if len(mesh.axis_names) == 1
+                    else tuple(mesh.axis_names))
         self.mesh_axis = axis
         return self
+
+    @property
+    def _ntt_shard(self):
+        """(mesh, axes) for gl._shard_six_step on a 2-D mesh, else None."""
+        if self.mesh is not None and isinstance(self.mesh_axis, tuple):
+            return (self.mesh, self.mesh_axis)
+        return None
 
     def _shard_rows(self, arr):
         """Row-shard a device array over the prover mesh (no-op without a
@@ -854,7 +933,7 @@ class GoldilocksProver(Prover):
         w = main_dev.shape[1]
         main_polys, main_lde, leaves = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1),
-            self.hasher)
+            self.hasher, self._ntt_shard)
         main_lde = self._shard_rows(main_lde)
         main_tree = self._make_tree(leaves, self._levels_fn(leaves))
         channel.commit_trace(main_tree.root)
@@ -871,7 +950,8 @@ class GoldilocksProver(Prover):
             w_aux = aux_dev.shape[1]
             aux_polys, aux_lde, leaves = _commit_pipeline(
                 aux_dev, n, offset, blowup,
-                part.partition_size(w_aux, d) * d, self.hasher)
+                part.partition_size(w_aux, d) * d, self.hasher,
+                self._ntt_shard)
             aux_lde = self._shard_rows(aux_lde)
             aux_tree = self._make_tree(leaves, self._levels_fn(leaves))
             channel.commit_trace(aux_tree.root)
@@ -887,7 +967,8 @@ class GoldilocksProver(Prover):
         num_cols = air.context.num_constraint_composition_columns()
         comp_columns, comp_lde, leaves = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
-            part.partition_size(num_cols, d) * d, self.hasher)
+            part.partition_size(num_cols, d) * d, self.hasher,
+            self._ntt_shard)
         del ce_column  # (ce, d) — dead from here; frees HBM at huge sizes
         comp_lde = self._shard_rows(comp_lde)
         if _MEMLOG:
@@ -908,32 +989,27 @@ class GoldilocksProver(Prover):
         zg = ext.mul_base(z, g_trace)
         z_pows = _z_power_table(ext, z, n)     # (n, d)
         zg_pows = _z_power_table(ext, zg, n)
+        pows2 = jnp.stack([z_pows, zg_pows], axis=1)  # (n, 2, d)
 
-        # dispatch every OOD evaluation before converting any (the per-call
-        # device→host pulls overlap the remaining evaluations' compute)
-        def eval_cols_start(polys, pows):
-            # polys (n, k) base or (n, k, d) ext
-            if polys.ndim == 2:
-                return _eval_cols_base(polys, pows)
-            return _eval_cols_ext(polys, pows)
-
+        # ONE program + ONE pull per matrix evaluates both OOD points
+        # (z and z·g stacked); dispatch all before converting any so the
+        # device→host pulls overlap the remaining evaluations' compute
         def eval_cols_conv(dev):
-            res = np.asarray(dev)
-            return [tuple(int(x) for x in row) for row in res]
+            res = np.asarray(dev)  # (k, 2, d)
+            cur = [tuple(int(x) for x in row[0]) for row in res]
+            nxt = [tuple(int(x) for x in row[1]) for row in res]
+            return cur, nxt
 
-        started = [eval_cols_start(main_polys, z_pows),
-                   eval_cols_start(main_polys, zg_pows)]
+        started = [_eval_cols_pair(main_polys, pows2)]
         if aux_polys is not None:
-            started += [eval_cols_start(aux_polys, z_pows),
-                        eval_cols_start(aux_polys, zg_pows)]
-        started += [eval_cols_start(comp_columns, z_pows),
-                    eval_cols_start(comp_columns, zg_pows)]
+            started.append(_eval_cols_pair(aux_polys, pows2))
+        started.append(_eval_cols_pair(comp_columns, pows2))
         conv = [eval_cols_conv(dev) for dev in started]
-        trace_cur, trace_nxt = conv[0], conv[1]
+        trace_cur, trace_nxt = conv[0]
         if aux_polys is not None:
-            trace_cur += conv[2]
-            trace_nxt += conv[3]
-        quot_cur, quot_nxt = conv[-2], conv[-1]
+            trace_cur = trace_cur + conv[1][0]
+            trace_nxt = trace_nxt + conv[1][1]
+        quot_cur, quot_nxt = conv[-1]
 
         channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
         phases.mark("ood_evaluations")
@@ -1032,10 +1108,18 @@ class GoldilocksProver(Prover):
 
     def _make_tree(self, leaves, levels_tuple) -> PrehashedMerkleTree:
         levels = {lvl.shape[0]: lvl for lvl in levels_tuple}
-        return PrehashedMerkleTree(
+        tree = PrehashedMerkleTree(
             _DigestView(leaves),
             _HeapNodesView(levels, leaves.shape[0]),
             self.hasher)
+        if leaves.shape[0] <= _TREE_PREFETCH:
+            tree.prefetch_async()
+        elif leaves.shape[0] <= _HEAP_FLAT_LIMIT:
+            # pre-dispatch the flat-heap concat now so its ~log(m) small
+            # programs overlap the remaining prove compute instead of
+            # serializing into the query phase
+            tree.nodes._flat_nodes()
+        return tree
 
     @staticmethod
     def _query_start(tree, lde, positions: List[int]):

@@ -70,17 +70,27 @@ def _combine_words(digests, digest_words: int, hash_fn):
     return hash_fn(joined, 4 * joined.shape[1], digest_words)
 
 
-# hasher -> (row-hash fn, merkle-levels fn, digest words, partition combine);
-# the hash modules share the words-in/words-out interface
+# hasher -> (row-hash fn, merkle-levels fn, digest words, partition combine,
+# fuse_levels); the hash modules share the words-in/words-out interface.
+# fuse_levels: the Merkle level reduction may be traced INTO the commit
+# programs at small sizes (one dispatch instead of one per level) — cheap
+# for the compact BLAKE3/SHA3 compression bodies, gated off for the
+# Rescue-based Rp62 whose unrolled merge chain would bloat executables.
 _DEVICE_HASHERS = {
     Blake3_256: (b3.blake3_hash_words, b3.merkle_levels_blake3, 8,
-                 _combine_words),
+                 _combine_words, True),
     Blake3_192: (b3.blake3_hash_words, b3.merkle_levels_blake3, 6,
-                 _combine_words),
-    Sha3_256: (s3.sha3_hash_words, s3.merkle_levels_sha3, 8, _combine_words),
+                 _combine_words, True),
+    Sha3_256: (s3.sha3_hash_words, s3.merkle_levels_sha3, 8, _combine_words,
+               True),
     Rp62_248: (rp62.rp62_hash_words, rp62.merkle_levels_rp62, 8,
-               rp62.rp62_combine),
+               rp62.rp62_combine, False),
 }
+
+# LDE row counts at or below this fuse the whole Merkle level reduction into
+# the commit/FRI programs (every level is a couple of compact hash calls;
+# the saved per-level dispatches are ~10-30 ms each on the remote tunnel)
+_LEVEL_FUSE = 1 << 16
 
 
 def _base_sum(eng, arr, axis: int = 0):
@@ -184,6 +194,52 @@ def _eval_cols_at(polys, pows, eng):
     return _eval_cols_scan(polys, pows, eng)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _eval_cols_pair(polys, pows2, eng):
+    """Evaluate every column at BOTH OOD points in one program:
+    pows2 (n, 2, d, L) stacks the z and z·g power tables; result
+    (k, 2, d, L). Halves the OOD dispatches and device→host pulls."""
+    if polys.ndim == 3:  # base columns (n, k, L)
+        prod = eng.base_mul(polys[:, :, None, None, :],
+                            pows2[:, None, :, :, :])
+    else:  # ext columns (n, k, d, L)
+        prod = eng.ext_mul(
+            polys[:, :, None, :, :],
+            jnp.broadcast_to(pows2[:, None],
+                             polys.shape[:2] + pows2.shape[1:]))
+    return _base_sum(eng, prod, axis=0)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _eval_cols_pair_scan(polys, pows2, eng):
+    n = polys.shape[0]
+    B = n // _EVAL_SLAB
+    pb = polys.reshape((B, _EVAL_SLAB) + polys.shape[1:])
+    wb = pows2.reshape((B, _EVAL_SLAB) + pows2.shape[1:])
+
+    def body(acc, xs):
+        pslab, wslab = xs
+        return eng.ext_add(acc, _eval_cols_pair(pslab, wslab, eng)), None
+
+    k = polys.shape[1]
+    d = pows2.shape[2]
+    acc0 = jnp.zeros((k, 2, d, eng.NUM_LIMBS), dtype=jnp.uint64)
+    acc, _ = jax.lax.scan(body, acc0, (pb, wb))
+    return acc
+
+
+def _eval_cols_pair_at(polys, pows2, eng):
+    n = polys.shape[0]
+    if n % _EVAL_SLAB or n == _EVAL_SLAB:
+        acc = None
+        for i in range(0, n, _EVAL_SLAB):
+            part = _eval_cols_pair(polys[i : i + _EVAL_SLAB],
+                                   pows2[i : i + _EVAL_SLAB], eng)
+            acc = part if acc is None else _ext_add_jit(acc, part, eng)
+        return acc
+    return _eval_cols_pair_scan(polys, pows2, eng)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _transition_divisor_inv(xs, n: int, exemptions: tuple, eng):
     """1/(x^n − 1) · Π(x − e) over the CE domain (xs traced — no folding)."""
@@ -234,10 +290,10 @@ def _hash_rows_words(words_2d, byte_len: int, psize_elems: int,
 _FUSE_LIMIT = 1 << 22
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan, n: int,
                            blowup: int, psize: int, digest_words: int,
-                           hash_fn, eng, combine):
+                           hash_fn, eng, combine, levels_fn=None):
     polys = eng.ntt_interpolate_body(matrix, inv_plan, n)
     lde = eng.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup)
     m = lde.shape[0]
@@ -245,7 +301,8 @@ def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan, n: int,
     byte_len = 4 * words.shape[1]
     leaves = _hash_rows_words(words, byte_len, psize, digest_words, hash_fn,
                               eng.NUM_LIMBS, combine)
-    return polys, lde, leaves
+    levels = levels_fn(leaves) if levels_fn is not None else None
+    return polys, lde, leaves, levels
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -308,26 +365,27 @@ def _lde_per_column(polys, n: int, offset: int, blowup: int, eng):
 
 def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
                      digest_words: int, hash_fn, eng,
-                     combine=_combine_words):
+                     combine=_combine_words, levels_fn=None):
     inv_plan = eng.ntt_plan(n, True)
     fwd_plan = eng.ntt_plan(n * blowup, False)
     off_pows = eng._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
+        fuse_lv = levels_fn if n * blowup <= _LEVEL_FUSE else None
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
                                       n, blowup, psize, digest_words, hash_fn,
-                                      eng, combine)
+                                      eng, combine, fuse_lv)
     polys = eng.ntt_interpolate(matrix, n)
     lde = _lde_per_column(polys, n, offset, blowup, eng)
     leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS,
                             combine)
-    return polys, lde, leaves
+    return polys, lde, leaves, None
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
                                 fwd_plan, ce: int, n: int, blowup: int,
                                 num_cols: int, psize: int, digest_words: int,
-                                hash_fn, eng, combine):
+                                hash_fn, eng, combine, levels_fn=None):
     """iFFT the CE column, segment trace-length coefficient chunks
     (composition_poly.rs:55-85), LDE + hash — one program."""
     coeffs = eng.ntt_interp_offset_body(ce_column, interp_pows, inv_plan, ce)
@@ -339,7 +397,8 @@ def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
     words = lde.astype(jnp.uint32).reshape(m, -1)
     leaves = _hash_rows_words(words, 4 * words.shape[1], psize, digest_words,
                               hash_fn, eng.NUM_LIMBS, combine)
-    return comp_columns, lde, leaves
+    levels = levels_fn(leaves) if levels_fn is not None else None
+    return comp_columns, lde, leaves, levels
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -353,34 +412,38 @@ def _comp_segment(ce_column, interp_pows, inv_plan, ce: int, num_cols: int,
 
 def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
                           num_cols: int, psize: int, digest_words: int,
-                          hash_fn, eng, combine=_combine_words):
+                          hash_fn, eng, combine=_combine_words,
+                          levels_fn=None):
     interp_pows = eng.interp_offset_powers(ce, offset)
     inv_plan = eng.ntt_plan(ce, True)
     if n * blowup < _FUSE_LIMIT:
+        fuse_lv = levels_fn if n * blowup <= _LEVEL_FUSE else None
         return _comp_commit_pipeline_fused(
             ce_column, interp_pows, inv_plan, eng._power_series_dev(offset, n),
             eng.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
-            digest_words, hash_fn, eng, combine)
+            digest_words, hash_fn, eng, combine, fuse_lv)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n, eng)
     lde = _lde_per_column(comp_columns, n, offset, blowup, eng)
     leaves = _hash_lde_rows(lde, psize, digest_words, hash_fn, eng.NUM_LIMBS,
                             combine)
-    return comp_columns, lde, leaves
+    return comp_columns, lde, leaves, None
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _fri_layer_commit(evaluations, n_fold: int, digest_words: int, hash_fn,
-                      eng):
+                      eng, levels_fn=None):
     """Transpose a FRI layer into N-value rows, hash, ready for the Merkle
-    reduce (fri/src/prover/mod.rs:202-222)."""
+    reduce (fri/src/prover/mod.rs:202-222). With ``levels_fn`` the whole
+    Merkle level reduction is traced into the same program."""
     n, d = evaluations.shape[0], evaluations.shape[1]
     rows = n // n_fold
     transposed = jnp.swapaxes(
         evaluations.reshape(n_fold, rows, d, eng.NUM_LIMBS), 0, 1)
     words = transposed.astype(jnp.uint32).reshape(rows, -1)
     leaves = hash_fn(words, 4 * words.shape[1], digest_words)
-    return transposed, leaves
+    levels = levels_fn(leaves) if levels_fn is not None else None
+    return transposed, leaves, levels
 
 
 # above this LDE size the DEEP composition runs as a whole-array numerator
@@ -450,7 +513,8 @@ class LimbFieldProver(Prover):
             "hasher (device row hashing)")
         assert self.hasher is not Rp62_248 or eng is f62_eng, (
             "Rp62_248 hashes f62 elements — pair it with F62Prover")
-        hash_fn, self._levels_fn, dw, combine = _DEVICE_HASHERS[self.hasher]
+        hash_fn, self._levels_fn, dw, combine, fuse_levels = \
+            _DEVICE_HASHERS[self.hasher]
         channel = ProverChannel(air, air.pub_inputs_to_elements(), self.hasher)
         phases = tracing.Phases(f"device_prove_{air.base.name}")
 
@@ -479,12 +543,13 @@ class LimbFieldProver(Prover):
             dev_cache[eng.P] = main_dev
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
-        main_polys, main_lde, leaves = _commit_pipeline(
+        lv_fn = self._levels_fn if fuse_levels else None
+        main_polys, main_lde, leaves, levels = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1), dw,
-            hash_fn, eng, combine)
+            hash_fn, eng, combine, lv_fn)
         leaves.block_until_ready()
         phases.mark("commit_main_lde_hash")
-        main_tree = self._make_tree(leaves)
+        main_tree = self._make_tree(leaves, levels)
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
 
@@ -494,10 +559,11 @@ class LimbFieldProver(Prover):
             aux_obj = self.build_aux_trace(trace, aux_rand_elements)
             aux_dev = eng.to_device(aux_obj)  # (n, w_aux, d, L)
             w_aux = aux_dev.shape[1]
-            aux_polys, aux_lde, leaves = _commit_pipeline(
+            aux_polys, aux_lde, leaves, levels = _commit_pipeline(
                 aux_dev, n, offset, blowup,
-                part.partition_size(w_aux, d) * d, dw, hash_fn, eng, combine)
-            aux_tree = self._make_tree(leaves)
+                part.partition_size(w_aux, d) * d, dw, hash_fn, eng, combine,
+                lv_fn)
+            aux_tree = self._make_tree(leaves, levels)
             channel.commit_trace(aux_tree.root)
 
         # 2 ----- constraint evaluation -------------------------------------
@@ -509,10 +575,11 @@ class LimbFieldProver(Prover):
 
         # 3 ----- composition commitment ------------------------------------
         num_cols = air.context.num_constraint_composition_columns()
-        comp_columns, comp_lde, leaves = _comp_commit_pipeline(
+        comp_columns, comp_lde, leaves, levels = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
-            part.partition_size(num_cols, d) * d, dw, hash_fn, eng, combine)
-        comp_tree = self._make_tree(leaves)
+            part.partition_size(num_cols, d) * d, dw, hash_fn, eng, combine,
+            lv_fn)
+        comp_tree = self._make_tree(leaves, levels)
         channel.commit_constraints(comp_tree.root)
         phases.mark("commit_to_constraint_evaluations")
 
@@ -522,29 +589,27 @@ class LimbFieldProver(Prover):
         zg = ext.mul_base(z, g_trace)
         z_pows = _z_power_table(eng, ext, z, n)
         zg_pows = _z_power_table(eng, ext, zg, n)
+        pows2 = jnp.stack([z_pows, zg_pows], axis=1)  # (n, 2, d, L)
 
-        # dispatch every OOD evaluation before converting any (the per-call
-        # device→host pulls overlap the remaining evaluations' compute)
-        def eval_cols_start(polys, pows):
-            return _eval_cols_at(polys, pows, eng)
-
+        # ONE program + ONE pull per matrix evaluates both OOD points
+        # (z and z·g stacked); dispatch all before converting any so the
+        # device→host pulls overlap the remaining evaluations' compute
         def eval_cols_conv(dev):
-            res = eng.to_host(dev)
-            return [tuple(int(x) for x in row) for row in res]
+            res = eng.to_host(dev)  # (k, 2, d) object array
+            cur = [tuple(int(x) for x in row[0]) for row in res]
+            nxt = [tuple(int(x) for x in row[1]) for row in res]
+            return cur, nxt
 
-        started = [eval_cols_start(main_polys, z_pows),
-                   eval_cols_start(main_polys, zg_pows)]
+        started = [_eval_cols_pair_at(main_polys, pows2, eng)]
         if aux_polys is not None:
-            started += [eval_cols_start(aux_polys, z_pows),
-                        eval_cols_start(aux_polys, zg_pows)]
-        started += [eval_cols_start(comp_columns, z_pows),
-                    eval_cols_start(comp_columns, zg_pows)]
+            started.append(_eval_cols_pair_at(aux_polys, pows2, eng))
+        started.append(_eval_cols_pair_at(comp_columns, pows2, eng))
         conv = [eval_cols_conv(dev) for dev in started]
-        trace_cur, trace_nxt = conv[0], conv[1]
+        trace_cur, trace_nxt = conv[0]
         if aux_polys is not None:
-            trace_cur += conv[2]
-            trace_nxt += conv[3]
-        quot_cur, quot_nxt = conv[-2], conv[-1]
+            trace_cur = trace_cur + conv[1][0]
+            trace_nxt = trace_nxt + conv[1][1]
+        quot_cur, quot_nxt = conv[-1]
 
         channel.send_ood_evaluations(trace_cur, trace_nxt, quot_cur, quot_nxt)
         phases.mark("ood_evaluations")
@@ -564,9 +629,12 @@ class LimbFieldProver(Prover):
         fri_layers = []
         evaluations = deep_evaluations
         for _ in range(fri_options.num_fri_layers(lde_size)):
-            transposed, leaves = _fri_layer_commit(evaluations, n_fold, dw,
-                                                   hash_fn, eng)
-            tree = self._make_tree(leaves)
+            rows = evaluations.shape[0] // n_fold
+            fl = lv_fn if (lv_fn is not None and rows <= _LEVEL_FUSE
+                           and rows > 1) else None
+            transposed, leaves, levels = _fri_layer_commit(
+                evaluations, n_fold, dw, hash_fn, eng, fl)
+            tree = self._make_tree(leaves, levels)
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
             evaluations = eng.fri_fold(
@@ -643,13 +711,26 @@ class LimbFieldProver(Prover):
     # helpers
     # ------------------------------------------------------------------
 
-    def _make_tree(self, leaves) -> PrehashedMerkleTree:
-        levels = {lvl.shape[0]: lvl for lvl in self._levels_fn(leaves)}
+    def _make_tree(self, leaves, levels_tuple=None) -> PrehashedMerkleTree:
+        from .device import _TREE_PREFETCH
+
+        if levels_tuple is None:
+            levels_tuple = self._levels_fn(leaves)
+        levels = {lvl.shape[0]: lvl for lvl in levels_tuple}
         nb = self.hasher.digest_size  # 31 for Rp62_248 (trailing pad byte)
-        return PrehashedMerkleTree(
+        tree = PrehashedMerkleTree(
             _DigestView(leaves, nbytes=nb),
             _HeapNodesView(levels, leaves.shape[0], nbytes=nb),
             self.hasher)
+        if leaves.shape[0] <= _TREE_PREFETCH:
+            tree.prefetch_async()
+        else:
+            from .device import _HEAP_FLAT_LIMIT
+
+            if leaves.shape[0] <= _HEAP_FLAT_LIMIT:
+                # pre-dispatch the flat-heap concat to overlap compute
+                tree.nodes._flat_nodes()
+        return tree
 
     def _query_start(self, tree, lde, positions: List[int]):
         return (tree.prove_batch_start(positions),
