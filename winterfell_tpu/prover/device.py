@@ -391,10 +391,11 @@ class _DictView:
 # Trees at or below this leaf count are copied to the host IN FULL, with
 # async transfers started at tree-BUILD time: by the query phase every
 # digest is host-resident and proof assembly costs ZERO device dispatches.
-# (A 2^18-leaf tree is ~8 MB of digests; transfers overlap the remaining
-# prove compute and compile nothing on the remote tunnel. Above this the
-# per-query flat gather wins — a 2^25-leaf tree holds 1 GiB of nodes.)
-_TREE_PREFETCH = 1 << 18
+# Above this the per-query flat gather wins. Sized for the tunnel: the
+# link moves ~12 MB/s (measured r4 rescue chain-2^12 — 2^18-leaf prefetch
+# clogged it for 1.4 s/commit), so cap the whole-tree copies at ~2 MB
+# (2^16 leaves × 32 B) per array.
+_TREE_PREFETCH = 1 << 16
 
 
 class PrehashedMerkleTree(MerkleTree):

@@ -89,8 +89,10 @@ _DEVICE_HASHERS = {
 
 # LDE row counts at or below this fuse the whole Merkle level reduction into
 # the commit/FRI programs (every level is a couple of compact hash calls;
-# the saved per-level dispatches are ~10-30 ms each on the remote tunnel)
-_LEVEL_FUSE = 1 << 16
+# the saved per-level dispatches are ~10-30 ms each on the remote tunnel —
+# 17 unfused levels cost ~0.4 s at lde 2^18, measured r4 rescue chain-2^12).
+# Covers the headline rescue chain 2^14 (trace 2^18 → lde 2^20).
+_LEVEL_FUSE = 1 << 20
 
 
 def _base_sum(eng, arr, axis: int = 0):
