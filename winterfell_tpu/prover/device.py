@@ -609,10 +609,16 @@ def _hash_rows_part(rows_2d, psize_base: int, hasher=Rp64_256):
 _FUSE_LIMIT = 1 << 24
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+# f64 row counts at or below this fuse the Merkle level reduction into the
+# commit/FRI programs (saves one ~10-30 ms tunnel dispatch per level; the
+# fori-loop Pallas Rescue keeps the per-merge code ~2 MB)
+_LEVEL_FUSE_F64 = 1 << 16
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
                            n: int, blowup: int, psize: int, hasher=Rp64_256,
-                           shard=None):
+                           shard=None, fuse_levels: bool = False):
     """Interpolate → coset LDE → row hash, ONE program per matrix shape
     (fuses three dispatches — fewer remote compiles, fewer roundtrips).
     NTT plans and offset powers are runtime arguments (small executables).
@@ -622,7 +628,8 @@ def _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
     lde = gl.ntt_lde_body(polys, off_pows, fwd_plan, n, blowup, shard)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = _hash_rows_part(rows_2d, psize, hasher)
-    return polys, lde, leaves
+    levels = (_f64_hasher_entry(hasher)[2](leaves) if fuse_levels else None)
+    return polys, lde, leaves, levels
 
 
 def _lane_interp_lde(matrix, n: int, offset: int, blowup: int):
@@ -651,10 +658,11 @@ def _commit_pipeline(matrix, n: int, offset: int, blowup: int, psize: int,
     off_pows = gl._power_series_dev(offset, n)
     if n * blowup < _FUSE_LIMIT:
         return _commit_pipeline_fused(matrix, inv_plan, off_pows, fwd_plan,
-                                      n, blowup, psize, hasher, shard)
+                                      n, blowup, psize, hasher, shard,
+                                      n * blowup <= _LEVEL_FUSE_F64)
     polys, lde = _lane_interp_lde(matrix, n, offset, blowup)
     leaves = _hash_rows_slabbed(lde, psize, hasher)
-    return polys, lde, leaves
+    return polys, lde, leaves, None
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -700,11 +708,11 @@ def _hash_rows_slabbed(lde, psize: int, hasher=Rp64_256):
     return jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
                                 fwd_plan, ce: int, n: int, blowup: int,
                                 num_cols: int, psize: int, hasher=Rp64_256,
-                                shard=None):
+                                shard=None, fuse_levels: bool = False):
     """Composition commitment: iFFT the CE column, segment the first num_cols
     trace-length coefficient chunks (composition_poly.rs:55-85), LDE + hash —
     one program."""
@@ -716,7 +724,8 @@ def _comp_commit_pipeline_fused(ce_column, interp_pows, inv_plan, off_pows,
     lde = gl.ntt_lde_body(comp_columns, off_pows, fwd_plan, n, blowup, shard)
     rows_2d = lde.reshape(lde.shape[0], -1)
     leaves = _hash_rows_part(rows_2d, psize, hasher)
-    return comp_columns, lde, leaves
+    levels = (_f64_hasher_entry(hasher)[2](leaves) if fuse_levels else None)
+    return comp_columns, lde, leaves, levels
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -736,7 +745,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
         return _comp_commit_pipeline_fused(
             ce_column, interp_pows, inv_plan, gl._power_series_dev(offset, n),
             gl.ntt_plan(n * blowup, False), ce, n, blowup, num_cols, psize,
-            hasher, shard)
+            hasher, shard, n * blowup <= _LEVEL_FUSE_F64)
     comp_columns = _comp_segment(ce_column, interp_pows, inv_plan, ce,
                                  num_cols, n)
     rest = comp_columns.shape[1:]
@@ -746,7 +755,7 @@ def _comp_commit_pipeline(ce_column, ce: int, n: int, offset: int, blowup: int,
                  for j in range(flat.shape[1])]
     lde = jnp.concatenate(lde_lanes, axis=1).reshape((n * blowup,) + rest)
     leaves = _hash_rows_slabbed(lde, psize, hasher)
-    return comp_columns, lde, leaves
+    return comp_columns, lde, leaves, None
 
 
 def _deep_term_update(comp_z, comp_gz, term, adj_z_i, adj_gz_i):
@@ -820,8 +829,9 @@ def _deep_combine_slabbed(comp_z, comp_gz, z_arr, zg_arr, xs):
     return jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _fri_layer_commit(evaluations, n_fold: int, hasher=Rp64_256):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _fri_layer_commit(evaluations, n_fold: int, hasher=Rp64_256,
+                      fuse_levels: bool = False):
     """Transpose a FRI layer into N-value rows, hash, Merkle-reduce — one
     program per layer shape (fri/src/prover/mod.rs:202-222)."""
     n, d = evaluations.shape
@@ -829,7 +839,8 @@ def _fri_layer_commit(evaluations, n_fold: int, hasher=Rp64_256):
     transposed = jnp.swapaxes(evaluations.reshape(n_fold, rows, d), 0, 1)
     rows_2d = transposed.reshape(rows, n_fold * d)
     leaves = _hash_rows_part(rows_2d, rows_2d.shape[1], hasher)
-    return transposed, leaves
+    levels = (_f64_hasher_entry(hasher)[2](leaves) if fuse_levels else None)
+    return transposed, leaves, levels
 
 
 class GoldilocksProver(Prover):
@@ -932,11 +943,12 @@ class GoldilocksProver(Prover):
         main_dev.block_until_ready()
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
-        main_polys, main_lde, leaves = _commit_pipeline(
+        main_polys, main_lde, leaves, levels = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1),
             self.hasher, self._ntt_shard)
         main_lde = self._shard_rows(main_lde)
-        main_tree = self._make_tree(leaves, self._levels_fn(leaves))
+        main_tree = self._make_tree(
+            leaves, levels if levels is not None else self._levels_fn(leaves))
         channel.commit_trace(main_tree.root)
         phases.mark("commit_to_main_trace_segment", lde_domain_size=lde_size)
 
@@ -949,12 +961,14 @@ class GoldilocksProver(Prover):
             aux_obj = self.build_aux_trace(trace, aux_rand_elements)
             aux_dev = self._shard_rows(gl.to_device(aux_obj))  # (n, w_aux, d)
             w_aux = aux_dev.shape[1]
-            aux_polys, aux_lde, leaves = _commit_pipeline(
+            aux_polys, aux_lde, leaves, levels = _commit_pipeline(
                 aux_dev, n, offset, blowup,
                 part.partition_size(w_aux, d) * d, self.hasher,
                 self._ntt_shard)
             aux_lde = self._shard_rows(aux_lde)
-            aux_tree = self._make_tree(leaves, self._levels_fn(leaves))
+            aux_tree = self._make_tree(
+                leaves,
+                levels if levels is not None else self._levels_fn(leaves))
             channel.commit_trace(aux_tree.root)
 
         # 2 ----- constraint evaluation -------------------------------------
@@ -966,7 +980,7 @@ class GoldilocksProver(Prover):
 
         # 3 ----- composition commitment ------------------------------------
         num_cols = air.context.num_constraint_composition_columns()
-        comp_columns, comp_lde, leaves = _comp_commit_pipeline(
+        comp_columns, comp_lde, leaves, fused_levels = _comp_commit_pipeline(
             ce_column, ce, n, offset, blowup, num_cols,
             part.partition_size(num_cols, d) * d, self.hasher,
             self._ntt_shard)
@@ -975,7 +989,8 @@ class GoldilocksProver(Prover):
         if _MEMLOG:
             leaves.block_until_ready()
             phases.mark("memlog_comp_pipeline")
-        comp_levels = self._levels_fn(leaves)
+        comp_levels = (fused_levels if fused_levels is not None
+                       else self._levels_fn(leaves))
         if _MEMLOG:
             comp_levels[-1].block_until_ready()
             phases.mark("memlog_comp_merkle_levels")
@@ -1031,9 +1046,13 @@ class GoldilocksProver(Prover):
         fri_layers = []  # (tree, transposed_np (rows, N, d))
         evaluations = deep_evaluations
         for _ in range(fri_options.num_fri_layers(lde_size)):
-            transposed, leaves = _fri_layer_commit(evaluations, n_fold,
-                                                   self.hasher)
-            tree = self._make_tree(leaves, self._levels_fn(leaves))
+            rows = evaluations.shape[0] // n_fold
+            transposed, leaves, levels = _fri_layer_commit(
+                evaluations, n_fold, self.hasher,
+                1 < rows <= _LEVEL_FUSE_F64)
+            tree = self._make_tree(
+                leaves,
+                levels if levels is not None else self._levels_fn(leaves))
             channel.commit_fri_layer(tree.root)
             alpha = channel.draw_fri_alpha()
             evaluations = self._shard_rows(gl.fri_fold(
