@@ -134,61 +134,37 @@ def _lamport_device_check():
 
 def test_lamport_aggregate_device_matches_host():
     """The heavyweight width-22 AIR (sequence assertions, periodic columns —
-    examples/src/lamport/aggregate/mod.rs) on the device path.
+    examples/src/lamport/aggregate/mod.rs) on the device path.  Runs in a
+    fresh interpreter (see tests/isolation.py for the XLA:CPU crash class)."""
+    from tests.isolation import run_isolated
 
-    Runs in a fresh interpreter: inside a long pytest process, XLA:CPU's
-    executable serialize/deserialize segfaults nondeterministically on this
-    AIR's large programs (observed twice: once in `executable.serialize()`
-    during a cache write, once in deserialization during a cache read; the
-    same test standalone passes every time). Isolation turns a would-be
-    suite-killing crash into a plain failure. The child uses the persistent
-    .jax_cache_cpu only when WT_TEST_CACHE=1 (same opt-in as conftest) —
-    and if that cached run dies on a signal, it is retried once with the
-    cache disabled before failing."""
-    import os
-    import subprocess
-    import sys
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.update({
-        "PYTHONPATH": repo,
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": (env.get("XLA_FLAGS", "")
-                      + " --xla_force_host_platform_device_count=8").strip(),
-    })
-    cache_cfg = (
-        "jax.config.update('jax_compilation_cache_dir', "
-        "os.path.join(os.getcwd(), '.jax_cache_cpu')); "
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0); "
-        if os.environ.get("WT_TEST_CACHE") == "1" else "")
-    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
-            "import os; " + cache_cfg +
-            "from tests.test_device_f128_prover import _lamport_device_check; "
-            "_lamport_device_check(); print('LAMPORT_PIN_OK')")
-    res = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
-                         capture_output=True, text=True, timeout=3600)
-    if res.returncode < 0 and cache_cfg:
-        # signal death with the cache enabled: retry without it
-        code = code.replace(cache_cfg, "")
-        res = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
-                             capture_output=True, text=True, timeout=3600)
-    assert res.returncode == 0, res.stderr[-4000:]
-    assert "LAMPORT_PIN_OK" in res.stdout
+    run_isolated("tests.test_device_f128_prover", "_lamport_device_check",
+                 "LAMPORT_PIN_OK")
 
 
-def test_fib_device_huge_domain_split_matches_host(monkeypatch):
-    """Force the huge-domain code paths (per-column LDE above _FUSE_LIMIT,
-    slabbed DEEP combine above _DEEP_SLAB_LIMB, slabbed row hashing) at a
-    CPU-testable size: proof bytes must stay identical to the host prover."""
+def _huge_domain_split_check():
+    """Body of the huge-domain byte-pin: force the huge-domain code paths
+    (per-column LDE above _FUSE_LIMIT, slabbed DEEP combine above
+    _DEEP_SLAB_LIMB, slabbed row hashing) at a CPU-testable size — proof
+    bytes must stay identical to the host prover."""
     from winterfell_tpu.prover import device_limb
 
-    monkeypatch.setattr(device_limb, "_FUSE_LIMIT", 1)
-    monkeypatch.setattr(device_limb, "_DEEP_SLAB_LIMB", 256)
-    monkeypatch.setattr(device_limb, "_HASH_SLAB", 512)
+    device_limb._FUSE_LIMIT = 1
+    device_limb._DEEP_SLAB_LIMB = 256
+    device_limb._HASH_SLAB = 512
 
     options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
     host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
     dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
     assert dev.to_bytes() == host.to_bytes()
     verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)
+
+
+def test_fib_device_huge_domain_split_matches_host():
+    """Isolated in a child process: XLA:CPU segfaulted compiling this test's
+    big slab programs inside the round-4 full-suite process (plain
+    backend_compile_and_load, persistent cache off — see tests/isolation.py)."""
+    from tests.isolation import run_isolated
+
+    run_isolated("tests.test_device_f128_prover", "_huge_domain_split_check",
+                 "HUGE_DOMAIN_PIN_OK")

@@ -106,14 +106,68 @@ def _to_flat(arr):
     return jnp.concatenate(parts)
 
 
-def _flat_take_start(flat, word_idx: np.ndarray):
-    """Dispatch (async) a padded gather; returns the on-device result."""
+@jax.jit
+def _multi_take_jit(flats, idxs):
+    """Every query-phase gather of one proof as ONE program (the per-gather
+    dispatch costs a tunnel round trip each; the union is a handful of
+    1-D takes XLA runs back-to-back)."""
+    return tuple(jnp.take(f, i, axis=0) for f, i in zip(flats, idxs))
+
+
+class _GatherBatch:
+    """Collects (flat array, padded index) gathers across all trees/LDEs of
+    the query phase, then executes them in one jitted multi-take and starts
+    the device→host copies of every result together."""
+
+    __slots__ = ("flats", "idxs", "results")
+
+    def __init__(self):
+        self.flats, self.idxs, self.results = [], [], None
+
+    def add(self, flat, padded_idx: np.ndarray) -> int:
+        assert self.results is None, "gather batch already executed"
+        self.flats.append(flat)
+        self.idxs.append(jnp.asarray(padded_idx))
+        return len(self.flats) - 1
+
+    def get(self, slot: int):
+        if self.results is None:
+            self.results = _multi_take_jit(tuple(self.flats),
+                                           tuple(self.idxs))
+            for out in self.results:
+                if hasattr(out, "copy_to_host_async"):
+                    out.copy_to_host_async()
+        return self.results[slot]
+
+
+class _BatchTok:
+    """Deferred gather handle: resolves from the shared _GatherBatch."""
+
+    __slots__ = ("batch", "slot")
+
+    def __init__(self, batch: "_GatherBatch", slot: int):
+        self.batch = batch
+        self.slot = slot
+
+    def resolve(self):
+        return self.batch.get(self.slot)
+
+
+def _pad_pow2(word_idx: np.ndarray) -> np.ndarray:
     k = word_idx.shape[0]
     cap = 1
     while cap < k:
         cap *= 2
-    padded = np.concatenate(
+    return np.concatenate(
         [word_idx, np.full(cap - k, word_idx[0], dtype=np.int64)])
+
+
+def _flat_take_start(flat, word_idx: np.ndarray, batch=None):
+    """Dispatch (async) a padded gather; returns the on-device result — or,
+    with ``batch``, enqueue it in the shared one-program gather batch."""
+    padded = _pad_pow2(word_idx)
+    if batch is not None:
+        return _BatchTok(batch, batch.add(flat, padded))
     return jnp.take(flat, jnp.asarray(padded), axis=0)
 
 
@@ -125,17 +179,19 @@ def _flat_take(flat, word_idx: np.ndarray) -> np.ndarray:
     return np.asarray(_flat_take_start(flat, word_idx))[:k]
 
 
-def _padded_take_start(arr, indexes):
+def _padded_take_start(arr, indexes, batch=None):
     """Dispatch (async) the row gather of :func:`_padded_take`; returns the
     on-device padded result (finish with :func:`_padded_take_finish`)."""
     row_shape = arr.shape[1:]
     rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
     word_idx = (np.asarray(indexes, dtype=np.int64)[:, None] * rw
                 + np.arange(rw, dtype=np.int64)[None, :]).reshape(-1)
-    return _flat_take_start(_to_flat(arr), word_idx)
+    return _flat_take_start(_to_flat(arr), word_idx, batch)
 
 
 def _padded_take_finish(dev, k: int, row_shape) -> np.ndarray:
+    if isinstance(dev, _BatchTok):
+        dev = dev.resolve()
     rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
     return np.asarray(dev)[: k * rw].reshape((k,) + tuple(row_shape))
 
@@ -206,7 +262,7 @@ class _DigestView:
         return np.ascontiguousarray(
             row.astype(self._wdtype))[0].tobytes()[: self._nbytes]
 
-    def fetch_start(self, indexes):
+    def fetch_start(self, indexes, batch=None):
         """Dispatch the device work of :meth:`fetch` without waiting —
         lets callers pipeline many fetches' gathers/transfers over the
         link before converting any of them."""
@@ -217,7 +273,7 @@ class _DigestView:
             if self._host is None and hasattr(self.arr, "copy_to_host_async"):
                 self.arr.copy_to_host_async()
             return None
-        return _padded_take_start(self.arr, list(indexes))
+        return _padded_take_start(self.arr, list(indexes), batch)
 
     def fetch_finish(self, tok, indexes) -> dict:
         if not indexes:
@@ -297,7 +353,7 @@ class _HeapNodesView:
                 [_to_flat(self.levels[s]) for s in sorted(self.levels)])
         return self._flat
 
-    def _take_start(self, nodes):
+    def _take_start(self, nodes, batch=None):
         """Dispatch the flat-heap gather asynchronously (None = the by-size
         fallback path, resolved synchronously at finish — free when the
         levels were prefetched to host at tree-build time)."""
@@ -307,11 +363,13 @@ class _HeapNodesView:
         if self._n <= _HEAP_FLAT_LIMIT and len(nodes) > 4:
             word_idx = ((np.asarray(nodes, dtype=np.int64) - 1)[:, None] * w
                         + np.arange(w, dtype=np.int64)).reshape(-1)
-            return _flat_take_start(self._flat_nodes(), word_idx)
+            return _flat_take_start(self._flat_nodes(), word_idx, batch)
         return None
 
     def _take_finish(self, tok, nodes) -> np.ndarray:
         w = self._w
+        if isinstance(tok, _BatchTok):
+            tok = tok.resolve()
         if tok is not None:
             rows = np.asarray(tok)[: len(nodes) * w]
             return np.ascontiguousarray(
@@ -340,9 +398,9 @@ class _HeapNodesView:
     def __getitem__(self, i) -> bytes:
         return self._take_nodes([int(i)])[0].tobytes()[: self._nbytes]
 
-    def fetch_start(self, indexes):
-        return self._take_start([int(i) for i in indexes]) if indexes \
-            else None
+    def fetch_start(self, indexes, batch=None):
+        return self._take_start([int(i) for i in indexes], batch) \
+            if indexes else None
 
     def fetch_finish(self, tok, indexes) -> dict:
         indexes = [int(i) for i in indexes]
@@ -421,11 +479,12 @@ class PrehashedMerkleTree(MerkleTree):
         if hasattr(self.nodes, "prefetch_async"):
             self.nodes.prefetch_async()
 
-    def prove_batch_start(self, indexes):
+    def prove_batch_start(self, indexes, batch=None):
         """Recording pass + async dispatch of the digest gathers. Callers
         with several trees to prove (FRI layers, trace/constraint queries)
         start them ALL first so the gathers and device→host transfers
-        pipeline over the link instead of paying one roundtrip each."""
+        pipeline over the link instead of paying one roundtrip each (or,
+        with ``batch``, fold into the proof-wide one-program gather)."""
         real_leaves, real_nodes = self.leaves, self.nodes
         rec_leaves = _RecordingView(len(real_leaves))
         rec_nodes = _RecordingView(len(real_nodes))
@@ -437,8 +496,8 @@ class PrehashedMerkleTree(MerkleTree):
         leaf_idx = sorted(rec_leaves.indexes)
         node_idx = sorted(rec_nodes.indexes)
         return (list(indexes), leaf_idx, node_idx,
-                real_leaves.fetch_start(leaf_idx),
-                real_nodes.fetch_start(node_idx))
+                real_leaves.fetch_start(leaf_idx, batch),
+                real_nodes.fetch_start(node_idx, batch))
 
     def prove_batch_finish(self, state):
         indexes, leaf_idx, node_idx, leaf_tok, node_tok = state
@@ -843,6 +902,53 @@ def _fri_layer_commit(evaluations, n_fold: int, hasher=Rp64_256,
     return transposed, leaves, levels
 
 
+# Fused FRI commit phase (single-device only): the Fiat-Shamir coin runs on
+# device (ops/device_coin.py) so the whole build_layers loop — transpose,
+# hash, Merkle-reduce, reseed, draw alpha, fold, per layer, plus the
+# remainder interpolation (fri/src/prover/mod.rs:179-239) — is ONE program
+# instead of ~3 host round trips per layer.
+_FRI_COIN_KINDS_F64 = {Rp64_256: "rp64_256"}
+_FRI_FUSE_LIMIT_F64 = 1 << 22
+# WINTER_FUSED_FRI=0 forces the per-layer host-coin path (A/B harness)
+_FUSED_FRI_ON = _os_mod.environ.get("WINTER_FUSED_FRI", "1") not in ("", "0")
+
+
+def _init_f64_coin_kinds():
+    from ..crypto.hashers import Blake3_192, Blake3_256, Sha3_256
+
+    _FRI_COIN_KINDS_F64.update({Blake3_256: "blake3_256",
+                                Blake3_192: "blake3_192",
+                                Sha3_256: "sha3_256"})
+
+
+_init_f64_coin_kinds()
+
+
+@lru_cache(maxsize=None)
+def _fused_fri_fn_f64(hasher, d: int, n_fold: int, n_layers: int,
+                      offset: int):
+    from ..ops import device_coin as dc
+
+    merge, draw = dc.coin_bundle(_FRI_COIN_KINDS_F64[hasher], d, "f64")
+
+    def run(deep_evals, seed, inv_pows):
+        evaluations = deep_evals
+        outs = []
+        for i in range(n_layers):
+            transposed, leaves, levels = _fri_layer_commit(
+                evaluations, n_fold, hasher, True)
+            seed = merge(seed, levels[-1][0])
+            alpha, _ = draw(seed, jnp.uint64(0))
+            evaluations = gl.fri_fold_body(
+                evaluations, inv_pows[i], alpha, n_fold)
+            outs.append((transposed, leaves, levels))
+        rem = gl.ntt_interpolate_with_offset(
+            evaluations, evaluations.shape[0], offset)
+        return tuple(outs), rem, seed
+
+    return jax.jit(run)
+
+
 class GoldilocksProver(Prover):
     """Drop-in Prover for f64 AIRs with Rp64_256, BLAKE3 or SHA3 commitments
     (any-hasher support mirrors prover/src/lib.rs:125). Subclass or wrap an
@@ -1044,24 +1150,55 @@ class GoldilocksProver(Prover):
             air.options.fri_remainder_max_degree)
         n_fold = fri_options.folding_factor
         fri_layers = []  # (tree, transposed_np (rows, N, d))
-        evaluations = deep_evaluations
-        for _ in range(fri_options.num_fri_layers(lde_size)):
-            rows = evaluations.shape[0] // n_fold
-            transposed, leaves, levels = _fri_layer_commit(
-                evaluations, n_fold, self.hasher,
-                1 < rows <= _LEVEL_FUSE_F64)
-            tree = self._make_tree(
-                leaves,
-                levels if levels is not None else self._levels_fn(leaves))
-            channel.commit_fri_layer(tree.root)
-            alpha = channel.draw_fri_alpha()
-            evaluations = self._shard_rows(gl.fri_fold(
-                evaluations, n_fold, offset, jnp.asarray(
-                    np.array(list(alpha), dtype=np.uint64))))
-            fri_layers.append((tree, transposed))
+        n_layers = fri_options.num_fri_layers(lde_size)
+        rem_n = lde_size // n_fold**n_layers
+        coin_kind = _FRI_COIN_KINDS_F64.get(self.hasher)
+        if (_FUSED_FRI_ON and n_layers > 0 and coin_kind is not None
+                and rem_n >= 2 and lde_size <= _FRI_FUSE_LIMIT_F64
+                and self.mesh is None):
+            # whole FRI commit phase (+ remainder interpolation) as ONE
+            # program: the coin lives on device (ops/device_coin.py)
+            from ..ops import device_coin as dc
 
-        rem_n = evaluations.shape[0]
-        rem_coeffs = gl.ntt_interpolate_with_offset(evaluations, rem_n, offset)
+            fn = _fused_fri_fn_f64(self.hasher, d, n_fold, n_layers, offset)
+            inv_pows = tuple(
+                gl.fri_inv_offset_powers(lde_size // n_fold**i, n_fold,
+                                         offset % gl.P)
+                for i in range(n_layers))
+            if coin_kind == "rp64_256":
+                seed_dev = jnp.asarray(dc.seed_to_u64(
+                    channel.public_coin.seed))
+            else:
+                seed_dev = jnp.asarray(dc.seed_to_words(
+                    channel.public_coin.seed))
+            outs, rem_coeffs, seed_out = fn(deep_evaluations, seed_dev,
+                                            inv_pows)
+            for transposed, leaves, levels in outs:
+                tree = self._make_tree(leaves, levels)
+                channel.commitments.raw += tree.root  # reseed ran on device
+                fri_layers.append((tree, transposed))
+            channel.public_coin.seed = (
+                dc.u64_to_seed(seed_out) if coin_kind == "rp64_256"
+                else dc.words_to_seed(seed_out))
+            channel.public_coin.counter = 0
+        else:
+            evaluations = deep_evaluations
+            for _ in range(n_layers):
+                rows = evaluations.shape[0] // n_fold
+                transposed, leaves, levels = _fri_layer_commit(
+                    evaluations, n_fold, self.hasher,
+                    1 < rows <= _LEVEL_FUSE_F64)
+                tree = self._make_tree(
+                    leaves,
+                    levels if levels is not None else self._levels_fn(leaves))
+                channel.commit_fri_layer(tree.root)
+                alpha = channel.draw_fri_alpha()
+                evaluations = self._shard_rows(gl.fri_fold(
+                    evaluations, n_fold, offset, jnp.asarray(
+                        np.array(list(alpha), dtype=np.uint64))))
+                fri_layers.append((tree, transposed))
+            rem_coeffs = gl.ntt_interpolate_with_offset(evaluations, rem_n,
+                                                        offset)
         keep = rem_n // blowup
         rem_np = np.asarray(rem_coeffs[:keep])[::-1]
         remainder_poly = [tuple(int(x) for x in row) for row in rem_np]
@@ -1074,9 +1211,11 @@ class GoldilocksProver(Prover):
         phases.mark("determine_query_positions")
 
         # 8 ----- proof assembly --------------------------------------------
-        # dispatch EVERY query gather first (all positions are host-known),
-        # so the per-tree gathers and device→host transfers pipeline over
-        # the link instead of paying one synchronous roundtrip each
+        # enqueue EVERY query gather (all positions are host-known) into one
+        # shared batch: the whole phase's device work executes as a single
+        # program on the first resolve, and all device→host transfers start
+        # together — instead of one dispatch round trip per tree/array
+        gb = _GatherBatch()
         layer_starts = []
         positions = list(query_positions)
         domain_size = lde_size
@@ -1084,19 +1223,20 @@ class GoldilocksProver(Prover):
             positions = fold_positions(positions, domain_size, n_fold)
             layer_starts.append(
                 (tree, transposed, positions,
-                 tree.prove_batch_start(positions),
-                 _padded_take_start(transposed, positions)))
+                 tree.prove_batch_start(positions, gb),
+                 _padded_take_start(transposed, positions, gb)))
             domain_size //= n_fold
         base_field = Field(F64, 1)
         q_starts = [(main_tree, main_lde, base_field, 1,
-                     self._query_start(main_tree, main_lde, query_positions))]
+                     self._query_start(main_tree, main_lde, query_positions,
+                                       gb))]
         if aux_tree is not None:
             q_starts.append((aux_tree, aux_lde, ext, d,
                              self._query_start(aux_tree, aux_lde,
-                                               query_positions)))
+                                               query_positions, gb)))
         q_starts.append((comp_tree, comp_lde, ext, d,
                          self._query_start(comp_tree, comp_lde,
-                                           query_positions)))
+                                           query_positions, gb)))
 
         proof_layers = []
         for tree, transposed, positions, st, rows_tok in layer_starts:
@@ -1142,9 +1282,9 @@ class GoldilocksProver(Prover):
         return tree
 
     @staticmethod
-    def _query_start(tree, lde, positions: List[int]):
-        return (tree.prove_batch_start(positions),
-                _padded_take_start(lde, positions))
+    def _query_start(tree, lde, positions: List[int], batch=None):
+        return (tree.prove_batch_start(positions, batch),
+                _padded_take_start(lde, positions, batch))
 
     @staticmethod
     def _query_finish(tree, lde, positions: List[int], start, field: Field,

@@ -30,7 +30,7 @@ tests/test_device_f128_prover.py and tests/test_device_f62_prover.py.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List
 
 import numpy as np
@@ -55,6 +55,7 @@ from .channel import ProverChannel
 from .device import (
     PrehashedMerkleTree,
     _DigestView,
+    _GatherBatch,
     _HeapNodesView,
     _padded_take_finish,
     _padded_take_start,
@@ -448,6 +449,46 @@ def _fri_layer_commit(evaluations, n_fold: int, digest_words: int, hash_fn,
     return transposed, leaves, levels
 
 
+# Fused FRI commit phase: with the Fiat-Shamir coin resident on device
+# (ops/device_coin.py) the whole build_layers loop — transpose, hash,
+# Merkle-reduce, reseed, draw alpha, fold, per layer, plus the remainder
+# interpolation (fri/src/prover/mod.rs:179-239) — runs as ONE program,
+# replacing ~3 host round trips per layer with a single dispatch.
+_FRI_COIN_KINDS = {Blake3_256: "blake3_256", Blake3_192: "blake3_192",
+                   Sha3_256: "sha3_256"}
+_FRI_FUSE_LIMIT = 1 << 22  # whole-phase resident set; fall back above
+# WINTER_FUSED_FRI=0 forces the per-layer host-coin path (A/B harness)
+_FUSED_FRI_ON = __import__("os").environ.get(
+    "WINTER_FUSED_FRI", "1") not in ("", "0")
+
+
+@lru_cache(maxsize=None)
+def _fused_fri_fn(eng, hash_fn, levels_fn, dw: int, coin_kind: str, d: int,
+                  n_fold: int, n_layers: int, offset: int):
+    from ..ops import device_coin as dc
+
+    eng_name = "f128" if eng.NUM_LIMBS == 4 else "f62"
+    merge, draw = dc.coin_bundle(coin_kind, d, eng_name)
+
+    def run(deep_evals, seed_w, inv_pows):
+        evaluations = deep_evals
+        seed = seed_w
+        outs = []
+        for i in range(n_layers):
+            transposed, leaves, levels = _fri_layer_commit(
+                evaluations, n_fold, dw, hash_fn, eng, levels_fn)
+            seed = merge(seed, levels[-1][0])
+            alpha, _ = draw(seed, jnp.uint64(0))
+            evaluations = eng.fri_fold_body(
+                evaluations, inv_pows[i], alpha, n_fold)
+            outs.append((transposed, leaves, levels))
+        rem = eng.ntt_interpolate_with_offset(
+            evaluations, evaluations.shape[0], offset)
+        return tuple(outs), rem, seed
+
+    return jax.jit(run)
+
+
 # above this LDE size the DEEP composition runs as a whole-array numerator
 # accumulation + row-slabbed inversion/combine programs (see _deep_evaluations)
 _DEEP_SLAB_LIMB = 1 << 21
@@ -629,24 +670,47 @@ class LimbFieldProver(Prover):
             air.options.fri_remainder_max_degree)
         n_fold = fri_options.folding_factor
         fri_layers = []
-        evaluations = deep_evaluations
-        for _ in range(fri_options.num_fri_layers(lde_size)):
-            rows = evaluations.shape[0] // n_fold
-            fl = lv_fn if (lv_fn is not None and rows <= _LEVEL_FUSE
-                           and rows > 1) else None
-            transposed, leaves, levels = _fri_layer_commit(
-                evaluations, n_fold, dw, hash_fn, eng, fl)
-            tree = self._make_tree(leaves, levels)
-            channel.commit_fri_layer(tree.root)
-            alpha = channel.draw_fri_alpha()
-            evaluations = eng.fri_fold(
-                evaluations, n_fold, offset,
-                eng.to_device(np.array(list(alpha), dtype=object)))
-            fri_layers.append((tree, transposed))
+        n_layers = fri_options.num_fri_layers(lde_size)
+        rem_n = lde_size // n_fold**n_layers
+        coin_kind = _FRI_COIN_KINDS.get(self.hasher)
+        if (_FUSED_FRI_ON and n_layers > 0 and coin_kind is not None
+                and rem_n >= 2 and lde_size <= _FRI_FUSE_LIMIT):
+            # whole FRI commit phase (+ remainder interpolation) as ONE
+            # program: the coin lives on device (ops/device_coin.py)
+            from ..ops import device_coin as dc
 
-        rem_n = evaluations.shape[0]
-        rem_coeffs = eng.ntt_interpolate_with_offset(evaluations, rem_n,
-                                                     offset)
+            fn = _fused_fri_fn(eng, hash_fn, self._levels_fn, dw, coin_kind,
+                               d, n_fold, n_layers, offset)
+            inv_pows = tuple(
+                eng.fri_inv_offset_powers(lde_size // n_fold**i, n_fold,
+                                          offset % eng.P)
+                for i in range(n_layers))
+            seed_w = jnp.asarray(dc.seed_to_words(channel.public_coin.seed))
+            outs, rem_coeffs, seed_out = fn(deep_evaluations, seed_w,
+                                            inv_pows)
+            for transposed, leaves, levels in outs:
+                tree = self._make_tree(leaves, levels)
+                channel.commitments.raw += tree.root  # reseed ran on device
+                fri_layers.append((tree, transposed))
+            channel.public_coin.seed = dc.words_to_seed(seed_out)
+            channel.public_coin.counter = 0
+        else:
+            evaluations = deep_evaluations
+            for _ in range(n_layers):
+                rows = evaluations.shape[0] // n_fold
+                fl = lv_fn if (lv_fn is not None and rows <= _LEVEL_FUSE
+                               and rows > 1) else None
+                transposed, leaves, levels = _fri_layer_commit(
+                    evaluations, n_fold, dw, hash_fn, eng, fl)
+                tree = self._make_tree(leaves, levels)
+                channel.commit_fri_layer(tree.root)
+                alpha = channel.draw_fri_alpha()
+                evaluations = eng.fri_fold(
+                    evaluations, n_fold, offset,
+                    eng.to_device(np.array(list(alpha), dtype=object)))
+                fri_layers.append((tree, transposed))
+            rem_coeffs = eng.ntt_interpolate_with_offset(evaluations, rem_n,
+                                                         offset)
         keep = rem_n // blowup
         rem_host = eng.to_host(rem_coeffs[:keep])[::-1]
         remainder_poly = [tuple(int(x) for x in row) for row in rem_host]
@@ -659,9 +723,11 @@ class LimbFieldProver(Prover):
         phases.mark("determine_query_positions")
 
         # 8 ----- proof assembly --------------------------------------------
-        # dispatch EVERY query gather first (all positions are host-known),
-        # so the per-tree gathers and device→host transfers pipeline over
-        # the link instead of paying one synchronous roundtrip each
+        # enqueue EVERY query gather (all positions are host-known) into one
+        # shared batch: the whole phase's device work executes as a single
+        # program on the first resolve, and all device→host transfers start
+        # together — instead of one dispatch round trip per tree/array
+        gb = _GatherBatch()
         layer_starts = []
         positions = list(query_positions)
         domain_size = lde_size
@@ -669,19 +735,20 @@ class LimbFieldProver(Prover):
             positions = fold_positions(positions, domain_size, n_fold)
             layer_starts.append(
                 (tree, transposed, positions,
-                 tree.prove_batch_start(positions),
-                 _padded_take_start(transposed, positions)))
+                 tree.prove_batch_start(positions, gb),
+                 _padded_take_start(transposed, positions, gb)))
             domain_size //= n_fold
         base_field = Field(air.base, 1)
         q_starts = [(main_tree, main_lde, base_field, 1,
-                     self._query_start(main_tree, main_lde, query_positions))]
+                     self._query_start(main_tree, main_lde, query_positions,
+                                       gb))]
         if aux_tree is not None:
             q_starts.append((aux_tree, aux_lde, ext, d,
                              self._query_start(aux_tree, aux_lde,
-                                               query_positions)))
+                                               query_positions, gb)))
         q_starts.append((comp_tree, comp_lde, ext, d,
                          self._query_start(comp_tree, comp_lde,
-                                           query_positions)))
+                                           query_positions, gb)))
 
         proof_layers = []
         for tree, transposed, positions, st, rows_tok in layer_starts:
@@ -734,9 +801,9 @@ class LimbFieldProver(Prover):
                 tree.nodes._flat_nodes()
         return tree
 
-    def _query_start(self, tree, lde, positions: List[int]):
-        return (tree.prove_batch_start(positions),
-                _padded_take_start(lde, positions))
+    def _query_start(self, tree, lde, positions: List[int], batch=None):
+        return (tree.prove_batch_start(positions, batch),
+                _padded_take_start(lde, positions, batch))
 
     def _query_finish(self, tree, lde, positions: List[int], start,
                       field: Field, d: int) -> Queries:
