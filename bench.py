@@ -54,6 +54,27 @@ def _phase_seconds(spans):
     return {rec["name"]: rec["seconds"] for rec in spans}
 
 
+def _measure(prover, trace):
+    """One prove WITH phase-boundary device barriers (per-phase attribution),
+    then the MEASURED prove free-running (barriers off — XLA pipelines
+    adjacent phases' dispatches; each barrier costs a tunnel round trip).
+    The reported value is the free-run wall clock, the production posture."""
+    from winterfell_tpu.utils import tracing
+
+    prover.prove(trace)
+    spans = tracing.last_spans()
+    saved = tracing.phase_sync()
+    if os.environ.get("WINTER_PHASE_SYNC") is None:
+        tracing.set_phase_sync(False)
+    try:
+        t0 = time.time()
+        proof = prover.prove(trace)
+        dt = time.time() - t0
+    finally:
+        tracing.set_phase_sync(saved)
+    return proof, dt, spans
+
+
 def bench_fib(log2_len: int):
     from winterfell_tpu.air import FieldExtension, ProofOptions
     from winterfell_tpu.crypto.hashers import Rp64_256
@@ -78,12 +99,7 @@ def bench_fib(log2_len: int):
 
     prover.prove(trace)  # warmup (jit compile + twiddle caches)
 
-    from winterfell_tpu.utils import tracing
-
-    t0 = time.time()
-    proof = prover.prove(trace)
-    dt = time.time() - t0
-    spans = tracing.last_spans()
+    proof, dt, spans = _measure(prover, trace)
 
     verify(FibSmallAir, proof, result, Rp64_256)
 
@@ -129,12 +145,7 @@ def bench_rescue_f128(log2_len: int):
 
     prover.prove(trace)  # warmup
 
-    from winterfell_tpu.utils import tracing
-
-    t0 = time.time()
-    proof = prover.prove(trace)
-    dt = time.time() - t0
-    spans = tracing.last_spans()
+    proof, dt, spans = _measure(prover, trace)
 
     verify(RescueAir, proof, pub, Blake3_256)
 
@@ -186,12 +197,7 @@ def bench_lamport(n_sigs: int):
 
     prover.prove(trace)  # warmup
 
-    from winterfell_tpu.utils import tracing
-
-    t0 = time.time()
-    proof = prover.prove(trace)
-    dt = time.time() - t0
-    spans = tracing.last_spans()
+    proof, dt, spans = _measure(prover, trace)
 
     verify(LamportAggregateAir, proof,
            LamportPublicInputs(tuple(pks), tuple(msgs)), Blake3_256)

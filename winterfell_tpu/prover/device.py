@@ -1046,7 +1046,7 @@ class GoldilocksProver(Prover):
                 main_dev = self._shard_rows(
                     gl.to_device(trace.main_segment()))
             dev_cache[(F64.p, self.mesh)] = main_dev
-        main_dev.block_until_ready()
+        tracing.sync(main_dev)
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
         main_polys, main_lde, leaves, levels = _commit_pipeline(
@@ -1081,7 +1081,7 @@ class GoldilocksProver(Prover):
         ccs = channel.get_constraint_composition_coeffs()
         ce_column = self._shard_rows(self._evaluate_constraints(
             air, main_lde, aux_lde, aux_rand_elements, ccs))  # (ce, d)
-        ce_column.block_until_ready()
+        tracing.sync(ce_column)
         phases.mark("evaluate_constraints", ce_domain_size=ce)
 
         # 3 ----- composition commitment ------------------------------------
@@ -1093,12 +1093,12 @@ class GoldilocksProver(Prover):
         del ce_column  # (ce, d) — dead from here; frees HBM at huge sizes
         comp_lde = self._shard_rows(comp_lde)
         if _MEMLOG:
-            leaves.block_until_ready()
+            tracing.sync(leaves)
             phases.mark("memlog_comp_pipeline")
         comp_levels = (fused_levels if fused_levels is not None
                        else self._levels_fn(leaves))
         if _MEMLOG:
-            comp_levels[-1].block_until_ready()
+            tracing.sync(comp_levels[-1])
             phases.mark("memlog_comp_merkle_levels")
         comp_tree = self._make_tree(leaves, comp_levels)
         del comp_levels
@@ -1141,7 +1141,7 @@ class GoldilocksProver(Prover):
             air, ext, main_lde, aux_lde, comp_lde, z, zg,
             trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs)  # (lde, d)
         deep_evaluations = self._shard_rows(deep_evaluations)
-        deep_evaluations.block_until_ready()
+        tracing.sync(deep_evaluations)
         phases.mark("build_deep_composition_poly")
 
         # 6 ----- FRI layers -------------------------------------------------

@@ -582,7 +582,7 @@ class LimbFieldProver(Prover):
                 main_dev = eng.to_device_native(native_rows)  # (n, w, L) view
             else:
                 main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
-            main_dev.block_until_ready()
+            tracing.sync(main_dev)
             dev_cache[eng.P] = main_dev
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
@@ -590,7 +590,7 @@ class LimbFieldProver(Prover):
         main_polys, main_lde, leaves, levels = _commit_pipeline(
             main_dev, n, offset, blowup, part.partition_size(w, 1), dw,
             hash_fn, eng, combine, lv_fn)
-        leaves.block_until_ready()
+        tracing.sync(leaves)
         phases.mark("commit_main_lde_hash")
         main_tree = self._make_tree(leaves, levels)
         channel.commit_trace(main_tree.root)
@@ -613,7 +613,7 @@ class LimbFieldProver(Prover):
         ccs = channel.get_constraint_composition_coeffs()
         ce_column = self._evaluate_constraints(
             air, main_lde, aux_lde, aux_rand_elements, ccs)  # (ce, d, L)
-        ce_column.block_until_ready()
+        tracing.sync(ce_column)
         phases.mark("evaluate_constraints", ce_domain_size=ce)
 
         # 3 ----- composition commitment ------------------------------------
@@ -661,7 +661,7 @@ class LimbFieldProver(Prover):
         deep_evaluations = self._deep_evaluations(
             air, ext, main_lde, aux_lde, comp_lde, z, zg,
             trace_cur, trace_nxt, quot_cur, quot_nxt, deep_ccs)  # (lde, d, L)
-        deep_evaluations.block_until_ready()
+        tracing.sync(deep_evaluations)
         phases.mark("build_deep_composition_poly")
 
         # 6 ----- FRI layers -------------------------------------------------

@@ -47,6 +47,33 @@ def _device_mem() -> Dict:
         return {}
 
 
+# WINTER_PHASE_SYNC=0 lets the prover FREE-RUN: the device-sync barriers the
+# provers place at phase boundaries exist only so per-phase wall clock can be
+# attributed; without them XLA pipelines adjacent phases' dispatches (each
+# barrier costs a tunnel round trip and kills the overlap). Totals stay
+# correct either way — only the per-phase split degrades.
+_PHASE_SYNC = os.environ.get("WINTER_PHASE_SYNC", "1") not in ("", "0")
+
+
+def set_phase_sync(on: bool) -> None:
+    """Toggle phase-boundary barriers at runtime (bench.py profiles one
+    prove WITH barriers for phase attribution, then measures a free-running
+    prove without them)."""
+    global _PHASE_SYNC
+    _PHASE_SYNC = bool(on)
+
+
+def phase_sync() -> bool:
+    return _PHASE_SYNC
+
+
+def sync(arr):
+    """Phase-boundary barrier: block on ``arr`` unless WINTER_PHASE_SYNC=0."""
+    if _PHASE_SYNC and hasattr(arr, "block_until_ready"):
+        arr.block_until_ready()
+    return arr
+
+
 class Phases:
     """Sequential phase timer: ``mark(name)`` records the time since the
     previous mark. Used by the provers to report per-phase wall clock like the
