@@ -227,6 +227,35 @@ def make_draw(next_candidate, decode, elem_shape, elem_dtype=jnp.uint64):
     return draw
 
 
+def make_draw_k(draw, ext_mul, one_elem):
+    """Build ``draw_k(seed, k, method) -> (elems (k, ...), counter)`` -- the
+    composition-coefficient draw (air/src/air/coefficients.rs): 'linear' = k
+    independent draws, 'algebraic' = powers 1, a, a^2, ... of ONE draw,
+    'horner' = those powers reversed.  ``one_elem`` is the field's one in
+    the element layout; ``ext_mul`` multiplies two elements."""
+
+    def draw_k(seed, k: int, method: str = "linear"):
+        if method == "linear":
+            def body(counter, _):
+                e, c2 = draw(seed, counter)
+                return c2, e
+
+            counter, elems = jax.lax.scan(
+                body, jnp.uint64(0), None, length=k)
+            return elems, counter
+        alpha, counter = draw(seed, jnp.uint64(0))
+
+        def body(acc, _):
+            return ext_mul(acc, alpha), acc
+
+        _, elems = jax.lax.scan(body, jnp.asarray(one_elem), None, length=k)
+        if method == "horner":
+            elems = elems[::-1]
+        return elems, counter
+
+    return draw_k
+
+
 # ================================================================================
 # Per-config coin bundles (cached)
 # ================================================================================

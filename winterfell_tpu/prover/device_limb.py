@@ -460,6 +460,35 @@ _FRI_FUSE_LIMIT = 1 << 22  # whole-phase resident set; fall back above
 # WINTER_FUSED_FRI=0 forces the per-layer host-coin path (A/B harness)
 _FUSED_FRI_ON = __import__("os").environ.get(
     "WINTER_FUSED_FRI", "1") not in ("", "0")
+# WINTER_RESIDENT=0 disables the whole-proof resident program (A/B harness)
+_RESIDENT_ON = __import__("os").environ.get(
+    "WINTER_RESIDENT", "1") not in ("", "0")
+# BatchingMethod -> device draw mode (air/src/options.rs:479-505)
+_BATCH_NAMES = {0: "linear", 1: "algebraic", 2: "horner"}
+
+
+def _limb_eng_name(eng) -> str:
+    return "f128" if eng.NUM_LIMBS == 4 else "f62"
+
+
+def _fri_phase_body(deep_evals, seed, inv_pows, merge, draw, eng, hash_fn,
+                    levels_fn, dw: int, n_fold: int, n_layers: int,
+                    offset: int):
+    """Traced FRI commit phase with the coin in-graph: shared by the
+    standalone fused-FRI program and the whole-proof resident program."""
+    evaluations = deep_evals
+    outs = []
+    for i in range(n_layers):
+        transposed, leaves, levels = _fri_layer_commit(
+            evaluations, n_fold, dw, hash_fn, eng, levels_fn)
+        seed = merge(seed, levels[-1][0])
+        alpha, _ = draw(seed, jnp.uint64(0))
+        evaluations = eng.fri_fold_body(
+            evaluations, inv_pows[i], alpha, n_fold)
+        outs.append((transposed, leaves, levels))
+    rem = eng.ntt_interpolate_with_offset(
+        evaluations, evaluations.shape[0], offset)
+    return tuple(outs), rem, seed
 
 
 @lru_cache(maxsize=None)
@@ -467,24 +496,12 @@ def _fused_fri_fn(eng, hash_fn, levels_fn, dw: int, coin_kind: str, d: int,
                   n_fold: int, n_layers: int, offset: int):
     from ..ops import device_coin as dc
 
-    eng_name = "f128" if eng.NUM_LIMBS == 4 else "f62"
-    merge, draw = dc.coin_bundle(coin_kind, d, eng_name)
+    merge, draw = dc.coin_bundle(coin_kind, d, _limb_eng_name(eng))
 
     def run(deep_evals, seed_w, inv_pows):
-        evaluations = deep_evals
-        seed = seed_w
-        outs = []
-        for i in range(n_layers):
-            transposed, leaves, levels = _fri_layer_commit(
-                evaluations, n_fold, dw, hash_fn, eng, levels_fn)
-            seed = merge(seed, levels[-1][0])
-            alpha, _ = draw(seed, jnp.uint64(0))
-            evaluations = eng.fri_fold_body(
-                evaluations, inv_pows[i], alpha, n_fold)
-            outs.append((transposed, leaves, levels))
-        rem = eng.ntt_interpolate_with_offset(
-            evaluations, evaluations.shape[0], offset)
-        return tuple(outs), rem, seed
+        return _fri_phase_body(deep_evals, seed_w, inv_pows, merge, draw,
+                               eng, hash_fn, levels_fn, dw, n_fold, n_layers,
+                               offset)
 
     return jax.jit(run)
 
@@ -570,20 +587,24 @@ class LimbFieldProver(Prover):
         ce = air.context.ce_domain_size
         part = air.options.partition_options
 
+        fri_opts = FriOptions(blowup, air.options.fri_folding_factor,
+                              air.options.fri_remainder_max_degree)
+        n_layers = fri_opts.num_fri_layers(lde_size)
+        rem_n = lde_size // fri_opts.folding_factor**n_layers
+        coin_kind = _FRI_COIN_KINDS.get(self.hasher)
+        num_cols = air.context.num_constraint_composition_columns()
+        ood_bytes = (2 * (air.trace_info.width + num_cols)
+                     * d * eng.NUM_LIMBS * 4)
+        if (_RESIDENT_ON and coin_kind is not None
+                and not air.trace_info.is_multi_segment
+                and n_layers > 0 and rem_n >= 2
+                and lde_size <= _LEVEL_FUSE and lde_size < _FUSE_LIMIT
+                and ood_bytes <= 1024):
+            return self._prove_resident(air, trace, channel, phases,
+                                        coin_kind, fri_opts, n_layers, rem_n)
+
         # 1 ----- trace commitment ------------------------------------------
-        dev_cache = trace.device_cache() if hasattr(trace, "device_cache") \
-            else {}
-        main_dev = dev_cache.get(eng.P)
-        if main_dev is None:
-            native_rows = trace.native_rows() \
-                if hasattr(trace, "native_rows") else None
-            if native_rows is not None and hasattr(eng, "to_device_native") \
-                    and native_rows.ndim == 3:
-                main_dev = eng.to_device_native(native_rows)  # (n, w, L) view
-            else:
-                main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
-            tracing.sync(main_dev)
-            dev_cache[eng.P] = main_dev
+        main_dev = self._upload_trace(trace)
         phases.mark("commit_main_upload")
         w = main_dev.shape[1]
         lv_fn = self._levels_fn if fuse_levels else None
@@ -711,6 +732,23 @@ class LimbFieldProver(Prover):
                 fri_layers.append((tree, transposed))
             rem_coeffs = eng.ntt_interpolate_with_offset(evaluations, rem_n,
                                                          offset)
+        return self._finish_proof(air, channel, phases, rem_n, rem_coeffs,
+                                  fri_layers, main_tree, main_lde, aux_tree,
+                                  aux_lde, comp_tree, comp_lde)
+
+    def _finish_proof(self, air, channel, phases, rem_n: int, rem_coeffs,
+                      fri_layers, main_tree, main_lde, aux_tree, aux_lde,
+                      comp_tree, comp_lde) -> Proof:
+        """Steps 6b-8 shared by the phased and resident pipelines: remainder
+        commit, grinding, query positions, and the batched query gathers +
+        proof assembly."""
+        eng = type(self).engine
+        ext = air.ext_field
+        d = ext.degree
+        blowup = air.options.blowup_factor
+        lde_size = air.lde_domain_size
+        n_fold = air.options.fri_folding_factor
+
         keep = rem_n // blowup
         rem_host = eng.to_host(rem_coeffs[:keep])[::-1]
         remainder_poly = [tuple(int(x) for x in row) for row in rem_host]
@@ -777,8 +815,266 @@ class LimbFieldProver(Prover):
         return proof
 
     # ------------------------------------------------------------------
+    # whole-proof resident pipeline
+    # ------------------------------------------------------------------
+
+    def _prove_resident(self, air, trace, channel, phases, coin_kind: str,
+                        fri_opts, n_layers: int, rem_n: int) -> Proof:
+        """Steps 1-6 (trace commit, coefficient draws, constraint
+        evaluation, composition commit, OOD, DEEP, every FRI layer) as ONE
+        XLA program with the Fiat-Shamir coin in-graph (ops/device_coin.py).
+        The host sees only the trace upload, the program's outputs (trees,
+        OOD values, remainder, final seed), the grinding scan, and the
+        batched query gather — two device dispatches per proof. Single
+        main-segment AIRs only; proof bytes are pinned to the host prover
+        by the same tests as the phased path."""
+        from ..air.proof import OodFrame
+        from ..ops import device_coin as dc
+
+        eng = type(self).engine
+        ext = air.ext_field
+        d = ext.degree
+        n = air.trace_length
+        w = air.trace_info.width
+        n_b = air.context.num_assertions
+        lde_size = air.lde_domain_size
+
+        main_dev = self._upload_trace(trace)
+        phases.mark("commit_main_upload")
+
+        # per-proof boundary VALUES (public-input-derived); the ccs slots
+        # carry draw-order indices — the actual coefficients are drawn on
+        # device and gathered by these indices inside the program
+        boundary = air.get_boundary_constraints(None, list(range(n_b)))
+        run, make_consts = self._resident_bundle(air, boundary, coin_kind,
+                                                 fri_opts, n_layers)
+        consts = make_consts(boundary)
+        seed_w = jnp.asarray(dc.seed_to_words(channel.public_coin.seed))
+        (main_lde, m_leaves, m_levels, comp_lde, c_leaves, c_levels,
+         main_pair, comp_pair, fri_outs, rem_coeffs, seed_out) = run(
+            main_dev, seed_w, consts)
+
+        m_tree = self._make_tree(m_leaves, m_levels)
+        channel.commitments.raw += m_tree.root  # reseeds ran on device
+        c_tree = self._make_tree(c_leaves, c_levels)
+        channel.commitments.raw += c_tree.root
+
+        def conv(dev):
+            res = eng.to_host(dev)  # (k, 2, d) object array
+            cur = [tuple(int(x) for x in row[0]) for row in res]
+            nxt = [tuple(int(x) for x in row[1]) for row in res]
+            return cur, nxt
+
+        trace_cur, trace_nxt = conv(main_pair)
+        quot_cur, quot_nxt = conv(comp_pair)
+        channel.ood_frame = OodFrame.new(ext, trace_cur, trace_nxt,
+                                         quot_cur, quot_nxt)
+
+        fri_layers = []
+        for transposed, leaves, levels in fri_outs:
+            tree = self._make_tree(leaves, levels)
+            channel.commitments.raw += tree.root
+            fri_layers.append((tree, transposed))
+        channel.public_coin.seed = dc.words_to_seed(seed_out)
+        channel.public_coin.counter = 0
+        phases.mark("resident_pipeline", lde_domain_size=lde_size)
+
+        return self._finish_proof(air, channel, phases, rem_n, rem_coeffs,
+                                  fri_layers, m_tree, main_lde, None, None,
+                                  c_tree, comp_lde)
+
+    def _resident_bundle(self, air, boundary, coin_kind: str, fri_opts,
+                         n_layers: int):
+        """(jitted run, make_consts) for the resident program, cached per
+        proof structure. ``make_consts(boundary)`` packs the per-proof
+        runtime arguments (NTT plans/power series, CE constants, boundary
+        assertion values) — data stays out of the executable."""
+        from ..ops import device_coin as dc
+
+        eng = type(self).engine
+        NL = eng.NUM_LIMBS
+        ext = air.ext_field
+        d = ext.degree
+        n = air.trace_length
+        w = air.trace_info.width
+        blowup = air.options.blowup_factor
+        offset = air.domain_offset
+        lde_size = air.lde_domain_size
+        ce = air.context.ce_domain_size
+        ce_blowup = air.ce_blowup_factor
+        part = air.options.partition_options
+        num_cols = air.context.num_constraint_composition_columns()
+        n_fold = fri_opts.folding_factor
+        n_t = air.context.num_transition_constraints
+        n_b = air.context.num_assertions
+        hash_fn, levels_fn, dw, combine, _fl = _DEVICE_HASHERS[self.hasher]
+        method_c = _BATCH_NAMES[int(air.options.batching_constraints)]
+        method_d = _BATCH_NAMES[int(air.options.batching_deep)]
+        psize_main = part.partition_size(w, 1)
+        psize_comp = part.partition_size(num_cols, d) * d
+
+        ce_fn, ce_consts = self._get_ce_fn(air, boundary)
+        key = ("resident", type(air), n, ce, d, lde_size, n_layers, n_fold,
+               coin_kind, method_c, method_d, num_cols, w, n_t, n_b,
+               psize_main, psize_comp)
+        cache = getattr(self, "_resident_cache", None)
+        if cache is None:
+            cache = self._resident_cache = {}
+        if key in cache:
+            return cache[key]
+
+        # draw-order index maps per boundary group (structure-static)
+        def group_meta(groups):
+            meta = []
+            for g in groups:
+                singles = [c for c in g.constraints if len(c.poly) == 1]
+                seqs = [c for c in g.constraints if len(c.poly) > 1]
+                meta.append((np.asarray([c.cc for c in singles],
+                                        dtype=np.int64),
+                             np.asarray([c.cc for c in seqs],
+                                        dtype=np.int64)))
+            return meta
+
+        main_meta = group_meta(boundary.main_groups)
+
+        merge, draw = dc.coin_bundle(coin_kind, d, _limb_eng_name(eng))
+        one_np = np.zeros((d, NL), dtype=np.uint64)
+        one_np[0, 0] = 1
+        draw_k = dc.make_draw_k(draw, eng.ext_mul, one_np)
+        g_trace = air.base.get_root_of_unity(n.bit_length() - 1)
+        g_elem_np = np.zeros((d, NL), dtype=np.uint64)
+        g_elem_np[0] = np.asarray(eng._int_to_limbs(g_trace))
+        h_lde = air.base.get_root_of_unity(lde_size.bit_length() - 1)
+        logn = n.bit_length() - 1
+        deep_acc = self._get_deep_fn(d, lde_size, 0)
+
+        def run(main_dev, seed_w, C):
+            # 1 -- trace commit (interpolate + LDE + hash + Merkle levels)
+            polys, main_lde, m_leaves, m_levels = _commit_pipeline_fused(
+                main_dev, C["inv_n"], C["offp_n"], C["fwd_lde"], n, blowup,
+                psize_main, dw, hash_fn, eng, combine, levels_fn)
+            seed = merge(seed_w, m_levels[-1][0])
+            # 2 -- constraint composition coefficients
+            ccs_all, _ = draw_k(seed, n_t + n_b, method_c)
+            t_ccs = ccs_all[:n_t]
+            b_ccs = ccs_all[n_t:]
+            main_packed = []
+            for (s_idx, q_idx), (s_vals, q_coeffs) in zip(main_meta,
+                                                          C["bvals"]):
+                s_ccs = b_ccs[jnp.asarray(s_idx)] if s_idx.size else \
+                    jnp.zeros((0, d, NL), dtype=jnp.uint64)
+                q_ccs = b_ccs[jnp.asarray(q_idx)] if q_idx.size else \
+                    jnp.zeros((0, d, NL), dtype=jnp.uint64)
+                main_packed.append((s_ccs, s_vals, q_ccs, q_coeffs))
+            # 3 -- constraint evaluation over the CE domain
+            stride = blowup // ce_blowup
+            main_ce = main_lde[::stride]
+            main_ce_next = jnp.roll(main_ce, -ce_blowup, axis=0)
+            ce_col = ce_fn(main_ce, main_ce_next, None, None, t_ccs, None,
+                           main_packed, [], C["ce_consts"])
+            # 4 -- composition commitment
+            comp_columns, comp_lde, c_leaves, c_levels = \
+                _comp_commit_pipeline_fused(
+                    ce_col, C["interp_ce"], C["inv_ce"], C["offp_n"],
+                    C["fwd_lde"], ce, n, blowup, num_cols, psize_comp, dw,
+                    hash_fn, eng, combine, levels_fn)
+            seed = merge(seed, c_levels[-1][0])
+            # 5 -- OOD point + evaluations + reseed
+            z, _ = draw(seed, jnp.uint64(0))
+            zg = eng.ext_mul(z, jnp.asarray(g_elem_np))
+
+            def jumps_of(e):
+                js = []
+                acc = e
+                for _ in range(logn):
+                    js.append(acc)
+                    acc = eng.ext_mul(acc, acc)
+                return jnp.stack(js)
+
+            z_pows = _pow_table_from_jumps(jumps_of(z), n, eng)
+            zg_pows = _pow_table_from_jumps(jumps_of(zg), n, eng)
+            pows2 = jnp.stack([z_pows, zg_pows], axis=1)  # (n, 2, d, L)
+            main_pair = _eval_cols_pair_at(polys, pows2, eng)  # (w, 2, d, L)
+            comp_pair = _eval_cols_pair_at(comp_columns, pows2, eng)
+            merged = jnp.concatenate([main_pair[:, 0], comp_pair[:, 0],
+                                      main_pair[:, 1], comp_pair[:, 1]])
+            ood_words = merged.astype(jnp.uint32).reshape(1, -1)
+            ood_digest = hash_fn(ood_words, 4 * ood_words.shape[1], dw)[0]
+            seed = merge(seed, ood_digest)
+            # 6 -- DEEP composition + FRI
+            deep_all, _ = draw_k(seed, w + num_cols, method_d)
+            all_cur = jnp.concatenate([main_pair[:, 0], comp_pair[:, 0]])
+            all_nxt = jnp.concatenate([main_pair[:, 1], comp_pair[:, 1]])
+            adj_z = eng.ext_mul(all_cur, deep_all)
+            adj_gz = eng.ext_mul(all_nxt, deep_all)
+            deep_evals = deep_acc(main_lde, None, comp_lde, deep_all, adj_z,
+                                  adj_gz, z[None], zg[None], C["xs"])
+            fri_outs, rem, seed = _fri_phase_body(
+                deep_evals, seed, C["fri_inv"], merge, draw, eng, hash_fn,
+                levels_fn, dw, n_fold, n_layers, offset)
+            return (main_lde, m_leaves, m_levels, comp_lde, c_leaves,
+                    c_levels, main_pair, comp_pair, fri_outs, rem, seed)
+
+        run_jit = jax.jit(run)
+
+        def make_consts(boundary_now):
+            bvals = []
+            for g in boundary_now.main_groups:
+                singles = [c for c in g.constraints if len(c.poly) == 1]
+                seqs = [c for c in g.constraints if len(c.poly) > 1]
+                s_vals = np.zeros((len(singles), 1), dtype=object)
+                for j, c in enumerate(singles):
+                    for t, v in enumerate(c.poly[0]):
+                        s_vals[j, t] = int(v)
+                if seqs:
+                    L = len(seqs[0].poly)
+                    q_coeffs = np.zeros((L, len(seqs), 1), dtype=object)
+                    for j, c in enumerate(seqs):
+                        for i, v in enumerate(c.poly):
+                            for t, x in enumerate(v):
+                                q_coeffs[i, j, t] = int(x)
+                    q_coeffs = eng.to_device(q_coeffs)
+                else:
+                    q_coeffs = jnp.zeros((0, 0, 1, NL), dtype=jnp.uint64)
+                bvals.append((eng.to_device(s_vals), q_coeffs))
+            return {
+                "inv_n": eng.ntt_plan(n, True),
+                "offp_n": eng._power_series_dev(offset, n),
+                "fwd_lde": eng.ntt_plan(lde_size, False),
+                "interp_ce": eng.interp_offset_powers(ce, offset),
+                "inv_ce": eng.ntt_plan(ce, True),
+                "xs": eng._power_series_dev(h_lde, lde_size, offset),
+                "fri_inv": tuple(
+                    eng.fri_inv_offset_powers(lde_size // n_fold**i, n_fold,
+                                              offset % eng.P)
+                    for i in range(n_layers)),
+                "ce_consts": ce_consts,
+                "bvals": bvals,
+            }
+
+        cache[key] = (run_jit, make_consts)
+        return cache[key]
+
+    # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _upload_trace(self, trace):
+        eng = type(self).engine
+        dev_cache = trace.device_cache() if hasattr(trace, "device_cache") \
+            else {}
+        main_dev = dev_cache.get(eng.P)
+        if main_dev is None:
+            native_rows = trace.native_rows() \
+                if hasattr(trace, "native_rows") else None
+            if native_rows is not None and hasattr(eng, "to_device_native") \
+                    and native_rows.ndim == 3:
+                main_dev = eng.to_device_native(native_rows)  # (n, w, L) view
+            else:
+                main_dev = eng.to_device(trace.main_segment())  # (n, w, L)
+            tracing.sync(main_dev)
+            dev_cache[eng.P] = main_dev
+        return main_dev
 
     def _make_tree(self, leaves, levels_tuple=None) -> PrehashedMerkleTree:
         from .device import _TREE_PREFETCH
