@@ -249,7 +249,9 @@ def main() -> None:
     phases = _phase_seconds(spans)
     # ~2 hashes per LDE row across the trees (leaves + internal merges),
     # 3 committed matrices + folded FRI layers ≈ 4x
-    commit_s = sum(v for k, v in phases.items() if "commit" in k) or dt
+    commit_s = sum(v for k, v in phases.items()
+                   if ("commit" in k and "upload" not in k)
+                   or "resident" in k) or dt
     info["phases"] = {k: round(v, 3) for k, v in phases.items()}
     info["ntt_elems_per_s"] = round(ntt_cols * lde / dt)
     info["hashes_per_s"] = round(4 * 2 * lde / commit_s)

@@ -31,11 +31,21 @@ from winterfell_tpu.math.fields import F128
 from winterfell_tpu.prover.device_f128 import F128Prover
 from winterfell_tpu.verifier import verify
 
+from tests.isolation import run_isolated
+
 F128FibProver = F128Prover.accelerate(FibProver)
 
 
-@pytest.mark.parametrize("ext", [FieldExtension.NONE, FieldExtension.QUADRATIC])
-def test_fib_device_matches_host(ext):
+# Every byte-pin here runs in a fresh interpreter (tests/isolation.py):
+# XLA:CPU aborts/segfaults nondeterministically when compiling this file's
+# large limb-engine programs inside a long pytest process (observed round 3
+# on the cache serialize path, round 4 twice in plain
+# backend_compile_and_load — huge-domain test, then rescue_raps CE — all of
+# which pass standalone every time).
+
+
+def _fib_device_check(ext_name: str):
+    ext = getattr(FieldExtension, ext_name)
     options = ProofOptions(28, 8, 0, ext, 4, 7)
     host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
     dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
@@ -43,7 +53,20 @@ def test_fib_device_matches_host(ext):
     verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)
 
 
-def test_fib_device_blake3_192_and_grinding():
+def _fib_none():
+    _fib_device_check("NONE")
+
+
+def _fib_quad():
+    _fib_device_check("QUADRATIC")
+
+
+@pytest.mark.parametrize("fn", ["_fib_none", "_fib_quad"])
+def test_fib_device_matches_host(fn):
+    run_isolated("tests.test_device_f128_prover", fn, "F128_PIN_OK")
+
+
+def _blake3_192_check():
     options = ProofOptions(28, 8, 4, FieldExtension.QUADRATIC, 8, 31)
     host = FibProver(options, Blake3_192).prove(build_fib_trace(F128, 128))
     dev = F128FibProver(options, Blake3_192).prove(build_fib_trace(F128, 128))
@@ -51,8 +74,12 @@ def test_fib_device_blake3_192_and_grinding():
     verify(FibAir, dev, compute_fib_term(F128, 128), Blake3_192)
 
 
-@pytest.mark.parametrize("partitions", [2, 4])
-def test_fib_device_partitions(partitions):
+def test_fib_device_blake3_192_and_grinding():
+    run_isolated("tests.test_device_f128_prover", "_blake3_192_check",
+                 "F128_PIN_OK")
+
+
+def _partitions_check(partitions: int):
     options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7
                            ).with_partitions(partitions, 2)
     host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
@@ -61,7 +88,20 @@ def test_fib_device_partitions(partitions):
     verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)
 
 
-def test_rescue_device_matches_host():
+def _partitions_2():
+    _partitions_check(2)
+
+
+def _partitions_4():
+    _partitions_check(4)
+
+
+@pytest.mark.parametrize("fn", ["_partitions_2", "_partitions_4"])
+def test_fib_device_partitions(fn):
+    run_isolated("tests.test_device_f128_prover", fn, "F128_PIN_OK")
+
+
+def _rescue_check():
     """Degree-3 constraints with cycle-16 periodic masks (rescue/air.rs)."""
     options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
     seed = (42, 43)
@@ -75,7 +115,12 @@ def test_rescue_device_matches_host():
     verify(RescueAir, dev, pub, Blake3_256)
 
 
-def test_rescue_raps_device_matches_host():
+def test_rescue_device_matches_host():
+    run_isolated("tests.test_device_f128_prover", "_rescue_check",
+                 "F128_PIN_OK")
+
+
+def _rescue_raps_check():
     """Randomized AIR: aux segment commit + aux transition on device."""
     options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
     seeds = [(i * 2 + 1, i * 2 + 2) for i in range(8)]
@@ -90,7 +135,12 @@ def test_rescue_raps_device_matches_host():
     verify(RescueRapsAir, dev, pub, Blake3_256)
 
 
-def test_fib_device_sha3_matches_host():
+def test_rescue_raps_device_matches_host():
+    run_isolated("tests.test_device_f128_prover", "_rescue_raps_check",
+                 "F128_PIN_OK")
+
+
+def _sha3_check():
     """SHA3-256 commitments on the device path (vectorized Keccak)."""
     from winterfell_tpu.crypto.hashers import Sha3_256
 
@@ -99,6 +149,11 @@ def test_fib_device_sha3_matches_host():
     dev = F128FibProver(options, Sha3_256).prove(build_fib_trace(F128, 128))
     assert dev.to_bytes() == host.to_bytes()
     verify(FibAir, dev, compute_fib_term(F128, 128), Sha3_256)
+
+
+def test_fib_device_sha3_matches_host():
+    run_isolated("tests.test_device_f128_prover", "_sha3_check",
+                 "F128_PIN_OK")
 
 
 def _lamport_device_check():

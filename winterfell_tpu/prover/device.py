@@ -911,6 +911,14 @@ _FRI_COIN_KINDS_F64 = {Rp64_256: "rp64_256"}
 _FRI_FUSE_LIMIT_F64 = 1 << 22
 # WINTER_FUSED_FRI=0 forces the per-layer host-coin path (A/B harness)
 _FUSED_FRI_ON = _os_mod.environ.get("WINTER_FUSED_FRI", "1") not in ("", "0")
+# WINTER_RESIDENT=0 disables the whole-proof resident program (A/B harness)
+_RESIDENT_ON_F64 = _os_mod.environ.get(
+    "WINTER_RESIDENT", "1") not in ("", "0")
+# BatchingMethod -> device draw mode (air/src/options.rs:479-505)
+_BATCH_NAMES_F64 = {0: "linear", 1: "algebraic", 2: "horner"}
+# resident keeps every Merkle level in-graph; cap the whole-proof program's
+# resident set (fib 2^18/2^19 LDEs qualify, 2^20+ falls back to phases)
+_RESIDENT_LIMIT_F64 = 1 << 22
 
 
 def _init_f64_coin_kinds():
@@ -924,6 +932,25 @@ def _init_f64_coin_kinds():
 _init_f64_coin_kinds()
 
 
+def _fri_phase_body_f64(deep_evals, seed, inv_pows, merge, draw, hasher,
+                        n_fold: int, n_layers: int, offset: int):
+    """Traced FRI commit phase with the coin in-graph: shared by the
+    standalone fused-FRI program and the whole-proof resident program."""
+    evaluations = deep_evals
+    outs = []
+    for i in range(n_layers):
+        transposed, leaves, levels = _fri_layer_commit(
+            evaluations, n_fold, hasher, True)
+        seed = merge(seed, levels[-1][0])
+        alpha, _ = draw(seed, jnp.uint64(0))
+        evaluations = gl.fri_fold_body(
+            evaluations, inv_pows[i], alpha, n_fold)
+        outs.append((transposed, leaves, levels))
+    rem = gl.ntt_interpolate_with_offset(
+        evaluations, evaluations.shape[0], offset)
+    return tuple(outs), rem, seed
+
+
 @lru_cache(maxsize=None)
 def _fused_fri_fn_f64(hasher, d: int, n_fold: int, n_layers: int,
                       offset: int):
@@ -932,19 +959,8 @@ def _fused_fri_fn_f64(hasher, d: int, n_fold: int, n_layers: int,
     merge, draw = dc.coin_bundle(_FRI_COIN_KINDS_F64[hasher], d, "f64")
 
     def run(deep_evals, seed, inv_pows):
-        evaluations = deep_evals
-        outs = []
-        for i in range(n_layers):
-            transposed, leaves, levels = _fri_layer_commit(
-                evaluations, n_fold, hasher, True)
-            seed = merge(seed, levels[-1][0])
-            alpha, _ = draw(seed, jnp.uint64(0))
-            evaluations = gl.fri_fold_body(
-                evaluations, inv_pows[i], alpha, n_fold)
-            outs.append((transposed, leaves, levels))
-        rem = gl.ntt_interpolate_with_offset(
-            evaluations, evaluations.shape[0], offset)
-        return tuple(outs), rem, seed
+        return _fri_phase_body_f64(deep_evals, seed, inv_pows, merge, draw,
+                                   hasher, n_fold, n_layers, offset)
 
     return jax.jit(run)
 
@@ -1032,6 +1048,23 @@ class GoldilocksProver(Prover):
         ce_blowup = air.ce_blowup_factor
         ce = air.context.ce_domain_size
         part = air.options.partition_options
+
+        fri_opts = FriOptions(blowup, air.options.fri_folding_factor,
+                              air.options.fri_remainder_max_degree)
+        nl_all = fri_opts.num_fri_layers(lde_size)
+        rem_all = lde_size // fri_opts.folding_factor**nl_all
+        res_kind = _FRI_COIN_KINDS_F64.get(self.hasher)
+        ood_bytes = (2 * (air.trace_info.width
+                          + air.context.num_constraint_composition_columns())
+                     * d * 8)
+        if (_RESIDENT_ON_F64 and res_kind is not None
+                and not air.trace_info.is_multi_segment
+                and self.mesh is None and nl_all > 0 and rem_all >= 2
+                and lde_size <= _RESIDENT_LIMIT_F64
+                and (_f64_hasher_entry(self.hasher)[0] == "field"
+                     or ood_bytes <= 1024)):
+            return self._prove_resident(air, trace, channel, phases,
+                                        res_kind, fri_opts, nl_all, rem_all)
 
         # 1 ----- trace commitment ------------------------------------------
         dev_cache = trace.device_cache() if hasattr(trace, "device_cache") \
@@ -1199,6 +1232,22 @@ class GoldilocksProver(Prover):
                 fri_layers.append((tree, transposed))
             rem_coeffs = gl.ntt_interpolate_with_offset(evaluations, rem_n,
                                                         offset)
+        return self._finish_proof(air, channel, phases, rem_n, rem_coeffs,
+                                  fri_layers, main_tree, main_lde, aux_tree,
+                                  aux_lde, comp_tree, comp_lde)
+
+    def _finish_proof(self, air, channel, phases, rem_n: int, rem_coeffs,
+                      fri_layers, main_tree, main_lde, aux_tree, aux_lde,
+                      comp_tree, comp_lde) -> Proof:
+        """Steps 6b-8 shared by the phased and resident pipelines: remainder
+        commit, grinding, query positions, and the batched query gathers +
+        proof assembly."""
+        ext = air.ext_field
+        d = ext.degree
+        blowup = air.options.blowup_factor
+        lde_size = air.lde_domain_size
+        n_fold = air.options.fri_folding_factor
+
         keep = rem_n // blowup
         rem_np = np.asarray(rem_coeffs[:keep])[::-1]
         remainder_poly = [tuple(int(x) for x in row) for row in rem_np]
@@ -1261,6 +1310,253 @@ class GoldilocksProver(Prover):
             trace_queries, constraint_queries, fri_proof, len(query_positions))
         phases.mark("build_proof_object")
         return proof
+
+    # ------------------------------------------------------------------
+    # whole-proof resident pipeline (single device, no aux segment)
+    # ------------------------------------------------------------------
+
+    def _prove_resident(self, air, trace, channel, phases, coin_kind: str,
+                        fri_opts, n_layers: int, rem_n: int) -> Proof:
+        """Steps 1-6 (trace commit, coefficient draws, constraint
+        evaluation, composition commit, OOD, DEEP, every FRI layer) as ONE
+        XLA program with the Fiat-Shamir coin in-graph (ops/device_coin.py);
+        the host does the trace upload, the program's output pulls, the
+        grinding scan and the batched query gather — two device dispatches
+        per proof (see LimbFieldProver._prove_resident for the limb-engine
+        twin)."""
+        from ..air.proof import OodFrame
+        from ..ops import device_coin as dc
+
+        ext = air.ext_field
+        n_b = air.context.num_assertions
+        lde_size = air.lde_domain_size
+        field_coin = coin_kind == "rp64_256"
+
+        dev_cache = trace.device_cache() if hasattr(trace, "device_cache") \
+            else {}
+        main_dev = dev_cache.get((F64.p, None))
+        if main_dev is None:
+            native_rows = trace.native_rows() \
+                if hasattr(trace, "native_rows") else None
+            if native_rows is not None and native_rows.ndim == 2:
+                main_dev = jnp.asarray(native_rows)
+            else:
+                main_dev = gl.to_device(trace.main_segment())
+            dev_cache[(F64.p, None)] = main_dev
+        tracing.sync(main_dev)
+        phases.mark("commit_main_upload")
+
+        boundary = air.get_boundary_constraints(None, list(range(n_b)))
+        run, make_consts = self._resident_bundle(air, boundary, coin_kind,
+                                                 fri_opts, n_layers)
+        consts = make_consts(boundary)
+        seed0 = jnp.asarray(dc.seed_to_u64(channel.public_coin.seed)
+                            if field_coin
+                            else dc.seed_to_words(channel.public_coin.seed))
+        (main_lde, m_leaves, m_levels, comp_lde, c_leaves, c_levels,
+         main_pair, comp_pair, fri_outs, rem_coeffs, seed_out) = run(
+            main_dev, seed0, consts)
+
+        main_tree = self._make_tree(m_leaves, m_levels)
+        channel.commitments.raw += main_tree.root  # reseeds ran on device
+        comp_tree = self._make_tree(c_leaves, c_levels)
+        channel.commitments.raw += comp_tree.root
+
+        def conv(dev):
+            res = np.asarray(dev)  # (k, 2, d)
+            cur = [tuple(int(x) for x in row[0]) for row in res]
+            nxt = [tuple(int(x) for x in row[1]) for row in res]
+            return cur, nxt
+
+        trace_cur, trace_nxt = conv(main_pair)
+        quot_cur, quot_nxt = conv(comp_pair)
+        channel.ood_frame = OodFrame.new(ext, trace_cur, trace_nxt,
+                                         quot_cur, quot_nxt)
+
+        fri_layers = []
+        for transposed, leaves, levels in fri_outs:
+            tree = self._make_tree(leaves, levels)
+            channel.commitments.raw += tree.root
+            fri_layers.append((tree, transposed))
+        channel.public_coin.seed = (dc.u64_to_seed(seed_out) if field_coin
+                                    else dc.words_to_seed(seed_out))
+        channel.public_coin.counter = 0
+        phases.mark("resident_pipeline", lde_domain_size=lde_size)
+
+        return self._finish_proof(air, channel, phases, rem_n, rem_coeffs,
+                                  fri_layers, main_tree, main_lde, None,
+                                  None, comp_tree, comp_lde)
+
+    def _resident_bundle(self, air, boundary, coin_kind: str, fri_opts,
+                         n_layers: int):
+        """(jitted run, make_consts) for the resident program, cached per
+        proof structure; ``make_consts(boundary)`` packs the per-proof
+        runtime arguments so data stays out of the executable."""
+        from ..ops import device_coin as dc
+        from ..ops import blake3_device as b3
+
+        ext = air.ext_field
+        d = ext.degree
+        n = air.trace_length
+        w = air.trace_info.width
+        blowup = air.options.blowup_factor
+        offset = air.domain_offset
+        lde_size = air.lde_domain_size
+        ce = air.context.ce_domain_size
+        ce_blowup = air.ce_blowup_factor
+        part = air.options.partition_options
+        num_cols = air.context.num_constraint_composition_columns()
+        n_fold = fri_opts.folding_factor
+        n_t = air.context.num_transition_constraints
+        n_b = air.context.num_assertions
+        kind, row_hash_fn, levels_fn, dw = _f64_hasher_entry(self.hasher)
+        method_c = _BATCH_NAMES_F64[int(air.options.batching_constraints)]
+        method_d = _BATCH_NAMES_F64[int(air.options.batching_deep)]
+        psize_main = part.partition_size(w, 1)
+        psize_comp = part.partition_size(num_cols, d) * d
+        hasher = self.hasher
+
+        ce_fn, ce_consts = self._get_ce_fn(air, boundary)
+        key = ("resident", type(air), n, ce, d, lde_size, n_layers, n_fold,
+               coin_kind, method_c, method_d, num_cols, w, n_t, n_b,
+               psize_main, psize_comp)
+        cache = getattr(self, "_resident_cache", None)
+        if cache is None:
+            cache = self._resident_cache = {}
+        if key in cache:
+            return cache[key]
+
+        def group_meta(groups):
+            meta = []
+            for g in groups:
+                singles = [c for c in g.constraints if len(c.poly) == 1]
+                seqs = [c for c in g.constraints if len(c.poly) > 1]
+                meta.append((np.asarray([c.cc for c in singles],
+                                        dtype=np.int64),
+                             np.asarray([c.cc for c in seqs],
+                                        dtype=np.int64)))
+            return meta
+
+        main_meta = group_meta(boundary.main_groups)
+
+        merge, draw = dc.coin_bundle(coin_kind, d, "f64")
+        one_np = np.zeros((d,), dtype=np.uint64)
+        one_np[0] = 1
+        draw_k = dc.make_draw_k(draw, gl.ext_mul, one_np)
+        g_trace = F64.get_root_of_unity(n.bit_length() - 1)
+        h_lde = F64.get_root_of_unity(lde_size.bit_length() - 1)
+        logn = n.bit_length() - 1
+        deep_acc = self._get_deep_fn(d, lde_size, 0)
+
+        def ood_digest_of(merged):
+            flat = merged.reshape(1, -1)  # (1, K*d) canonical u64 elements
+            if kind == "field":
+                return gl.rp64_hash_rows(flat)[0]
+            words, byte_len = b3.rows_from_u64(flat)
+            return row_hash_fn(words, byte_len, dw)[0]
+
+        def run(main_dev, seed0, C):
+            # 1 -- trace commit (interpolate + LDE + hash + Merkle levels)
+            polys, main_lde, m_leaves, m_levels = _commit_pipeline_fused(
+                main_dev, C["inv_n"], C["offp_n"], C["fwd_lde"], n, blowup,
+                psize_main, hasher, None, True)
+            seed = merge(seed0, m_levels[-1][0])
+            # 2 -- constraint composition coefficients
+            ccs_all, _ = draw_k(seed, n_t + n_b, method_c)
+            t_ccs = ccs_all[:n_t]
+            b_ccs = ccs_all[n_t:]
+            main_packed = []
+            for (s_idx, q_idx), (s_vals, q_coeffs) in zip(main_meta,
+                                                          C["bvals"]):
+                s_ccs = b_ccs[jnp.asarray(s_idx)] if s_idx.size else \
+                    jnp.zeros((0, d), dtype=jnp.uint64)
+                q_ccs = b_ccs[jnp.asarray(q_idx)] if q_idx.size else \
+                    jnp.zeros((0, d), dtype=jnp.uint64)
+                main_packed.append((s_ccs, s_vals, q_ccs, q_coeffs))
+            # 3 -- constraint evaluation over the CE domain
+            stride = blowup // ce_blowup
+            main_ce = main_lde[::stride]
+            main_ce_next = jnp.roll(main_ce, -ce_blowup, axis=0)
+            ce_col = ce_fn(main_ce, main_ce_next, None, None, t_ccs, None,
+                           main_packed, [], C["ce_consts"])
+            # 4 -- composition commitment
+            comp_columns, comp_lde, c_leaves, c_levels = \
+                _comp_commit_pipeline_fused(
+                    ce_col, C["interp_ce"], C["inv_ce"], C["offp_n"],
+                    C["fwd_lde"], ce, n, blowup, num_cols, psize_comp,
+                    hasher, None, True)
+            seed = merge(seed, c_levels[-1][0])
+            # 5 -- OOD point + evaluations + reseed
+            z, _ = draw(seed, jnp.uint64(0))
+            zg = gl.gl_mul(z, jnp.uint64(g_trace))
+
+            def jumps_of(e):
+                js = []
+                acc = e
+                for _ in range(logn):
+                    js.append(acc)
+                    acc = gl.ext_mul(acc, acc)
+                return jnp.stack(js)
+
+            z_pows = _pow_table_from_jumps(jumps_of(z), n)
+            zg_pows = _pow_table_from_jumps(jumps_of(zg), n)
+            pows2 = jnp.stack([z_pows, zg_pows], axis=1)  # (n, 2, d)
+            main_pair = _eval_cols_pair(polys, pows2)  # (w, 2, d)
+            comp_pair = _eval_cols_pair(comp_columns, pows2)
+            merged = jnp.concatenate([main_pair[:, 0], comp_pair[:, 0],
+                                      main_pair[:, 1], comp_pair[:, 1]])
+            seed = merge(seed, ood_digest_of(merged))
+            # 6 -- DEEP composition + FRI
+            deep_all, _ = draw_k(seed, w + num_cols, method_d)
+            all_cur = jnp.concatenate([main_pair[:, 0], comp_pair[:, 0]])
+            all_nxt = jnp.concatenate([main_pair[:, 1], comp_pair[:, 1]])
+            adj_z = gl.ext_mul(all_cur, deep_all)
+            adj_gz = gl.ext_mul(all_nxt, deep_all)
+            deep_evals = deep_acc(main_lde, None, comp_lde, deep_all, adj_z,
+                                  adj_gz, z[None], zg[None], C["xs"])
+            fri_outs, rem, seed = _fri_phase_body_f64(
+                deep_evals, seed, C["fri_inv"], merge, draw, hasher, n_fold,
+                n_layers, offset)
+            return (main_lde, m_leaves, m_levels, comp_lde, c_leaves,
+                    c_levels, main_pair, comp_pair, fri_outs, rem, seed)
+
+        run_jit = jax.jit(run)
+
+        def make_consts(boundary_now):
+            bvals = []
+            for g in boundary_now.main_groups:
+                singles = [c for c in g.constraints if len(c.poly) == 1]
+                seqs = [c for c in g.constraints if len(c.poly) > 1]
+                s_vals = np.zeros((len(singles), 1), dtype=np.uint64)
+                for j, c in enumerate(singles):
+                    s_vals[j, : len(c.poly[0])] = list(c.poly[0])
+                if seqs:
+                    L = len(seqs[0].poly)
+                    q_coeffs = np.zeros((L, len(seqs), 1), dtype=np.uint64)
+                    for j, c in enumerate(seqs):
+                        for i, v in enumerate(c.poly):
+                            q_coeffs[i, j, : len(v)] = list(v)
+                    q_coeffs = jnp.asarray(q_coeffs)
+                else:
+                    q_coeffs = jnp.zeros((0, 0, 1), dtype=jnp.uint64)
+                bvals.append((jnp.asarray(s_vals), q_coeffs))
+            return {
+                "inv_n": gl.ntt_plan(n, True),
+                "offp_n": gl._power_series_dev(offset, n),
+                "fwd_lde": gl.ntt_plan(lde_size, False),
+                "interp_ce": gl.interp_offset_powers(ce, offset),
+                "inv_ce": gl.ntt_plan(ce, True),
+                "xs": gl._power_series_dev(h_lde, lde_size, offset),
+                "fri_inv": tuple(
+                    gl.fri_inv_offset_powers(lde_size // n_fold**i, n_fold,
+                                             offset % gl.P)
+                    for i in range(n_layers)),
+                "ce_consts": ce_consts,
+                "bvals": bvals,
+            }
+
+        cache[key] = (run_jit, make_consts)
+        return cache[key]
 
     # ------------------------------------------------------------------
     # helpers
