@@ -194,3 +194,33 @@ void wt_blake3_many(const uint8_t* rows, size_t num_rows, size_t row_len,
         wt_blake3(rows + r * row_len, row_len, out + r * 32);
     }
 }
+
+/* Grinding scan (prover/src/channel.rs:169-184 serial path): find the
+ * smallest nonce >= start whose merge_with_int(seed, nonce) digest head
+ * (first 8 bytes, little-endian u64) has >= zeros trailing zero bits.
+ * seed_len is the digest size (32 for Blake3_256, 24 for Blake3_192);
+ * the message is seed || LE64(nonce), always a single block. */
+uint64_t wt_blake3_grind(const uint8_t* seed, size_t seed_len,
+                         uint32_t zeros, uint64_t start) {
+    uint8_t msg[40];
+    uint8_t out[32];
+    uint64_t nonce = start;
+    uint64_t head;
+    int i;
+    memcpy(msg, seed, seed_len);
+    for (;;) {
+        for (i = 0; i < 8; i++) {
+            msg[seed_len + i] = (uint8_t)(nonce >> (8 * i));
+        }
+        wt_blake3(msg, seed_len + 8, out);
+        head = 0;
+        for (i = 0; i < 8; i++) {
+            head |= (uint64_t)out[i] << (8 * i);
+        }
+        if (head == 0 ? zeros <= 64
+                      : (uint32_t)__builtin_ctzll(head) >= zeros) {
+            return nonce;
+        }
+        nonce++;
+    }
+}

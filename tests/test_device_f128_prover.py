@@ -156,6 +156,25 @@ def test_fib_device_sha3_matches_host():
                  "F128_PIN_OK")
 
 
+def _algebraic_horner_check():
+    """Algebraic + Horner batching: the device coin draws ONE alpha and
+    expands powers in-graph (air/src/air/coefficients.rs:159-195) — pinned
+    against the host prover's bytes."""
+    from winterfell_tpu.air import BatchingMethod
+
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7,
+                           BatchingMethod.ALGEBRAIC, BatchingMethod.HORNER)
+    host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(FibAir, dev, compute_fib_term(F128, 256), Blake3_256)
+
+
+def test_fib_device_algebraic_horner_matches_host():
+    run_isolated("tests.test_device_f128_prover", "_algebraic_horner_check",
+                 "F128_PIN_OK")
+
+
 def _lamport_device_check():
     """Body of the lamport device byte-pin (see the test below for why this
     runs in a child process)."""

@@ -136,3 +136,26 @@ def test_lamport_keygen_and_trace_match_python(monkeypatch):
             assert native_trace.get(col, step) == py_trace.get(col, step), \
                 (step, col)
     assert n == native_trace.length == 2048
+
+
+def test_native_grind_matches_python_scan():
+    """wt_blake3_grind == the serial check_leading_zeros loop
+    (prover/src/channel.rs:169-184) for both BLAKE3 digest widths."""
+    import random
+
+    from winterfell_tpu.crypto.hashers import Blake3_192, Blake3_256
+    from winterfell_tpu.crypto.random_coin import DefaultRandomCoin
+    from winterfell_tpu.math.fields import F128, Field
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(7)
+    for hasher in (Blake3_256, Blake3_192):
+        coin = DefaultRandomCoin(
+            hasher, [(rng.randrange(F128.p),) for _ in range(4)],
+            Field(F128, 1))
+        for gf in (4, 8, 12):
+            nonce = 1
+            while coin.check_leading_zeros(nonce) < gf:
+                nonce += 1
+            assert native.blake3_grind(coin.seed, gf) == nonce

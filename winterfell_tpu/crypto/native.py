@@ -81,6 +81,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_void_p, _u64x2, ctypes.c_void_p]
         lib.wt_lamport_trace.restype = None
+        lib.wt_blake3_grind.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                        ctypes.c_uint32, ctypes.c_uint64]
+        lib.wt_blake3_grind.restype = ctypes.c_uint64
         _lib = lib
         return lib
     except (OSError, AttributeError):
@@ -100,6 +103,15 @@ def blake3(data: bytes) -> bytes:
     out = ctypes.create_string_buffer(32)
     lib.wt_blake3(data, len(data), out)
     return out.raw
+
+
+def blake3_grind(seed: bytes, zeros: int, start: int = 1) -> int:
+    """Serial first-found grinding nonce (prover/src/channel.rs:169-184):
+    smallest nonce >= start with >= `zeros` trailing zero bits in the LE-u64
+    head of blake3(seed || LE64(nonce))."""
+    lib = _load()
+    assert lib is not None
+    return int(lib.wt_blake3_grind(seed, len(seed), zeros, start))
 
 
 def blake3_many(rows: bytes, num_rows: int, row_len: int) -> List[bytes]:

@@ -69,8 +69,17 @@ class ProverChannel:
     def grind_query_seed(self) -> None:
         """Serial first-found nonce scan (channel.rs:169-184). The serial scan
         makes the nonce deterministic, matching the reference's
-        non-concurrent build."""
+        non-concurrent build. BLAKE3 coins scan in native C when the library
+        is built (the Python loop costs ~5 us/nonce — 0.3 s at grinding 16)."""
         grinding_factor = self.context.options.grinding_factor
+        from ..crypto import native
+        from ..crypto.hashers import Blake3_192, Blake3_256
+
+        if (self.hasher in (Blake3_256, Blake3_192) and native.available()
+                and grinding_factor > 0):
+            self.pow_nonce = native.blake3_grind(self.public_coin.seed,
+                                                 grinding_factor)
+            return
         nonce = 1
         while True:
             if self.public_coin.check_leading_zeros(nonce) >= grinding_factor:
