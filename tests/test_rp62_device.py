@@ -15,7 +15,7 @@ from winterfell_tpu.ops import rp62_device as rp62
 from winterfell_tpu.prover.device_limb import F62Prover
 from winterfell_tpu.verifier import verify
 
-from test_e2e_f62 import FibF62Air, FibF62Prover, _trace
+from tests.test_e2e_f62 import FibF62Air, FibF62Prover, _trace
 
 P = F62.p
 
@@ -78,8 +78,13 @@ def test_rp62_merkle_levels_match_host_tree():
         assert got == want
 
 
-@pytest.mark.parametrize("ext", [FieldExtension.NONE, FieldExtension.CUBIC])
-def test_fib_f62_device_rp62_matches_host(ext):
+# the full-prove byte-pins run in fresh interpreters (tests/isolation.py):
+# the round-4 suite segfaulted in XLA:CPU compiling this file's limb
+# programs in-process (_z_power_table under test_fib_f62_device_rp62)
+
+
+def _rp62_device_check(ext_name: str):
+    ext = getattr(FieldExtension, ext_name)
     options = ProofOptions(28, 8, 0, ext, 4, 7)
     host_prover = FibF62Prover(options, H.Rp62_248)
     host = host_prover.prove(_trace())
@@ -89,7 +94,22 @@ def test_fib_f62_device_rp62_matches_host(ext):
     verify(FibF62Air, dev, host_prover.get_pub_inputs(_trace()), H.Rp62_248)
 
 
-def test_fib_f62_device_rp62_partitioned_matches_host():
+def _rp62_none():
+    _rp62_device_check("NONE")
+
+
+def _rp62_cubic():
+    _rp62_device_check("CUBIC")
+
+
+@pytest.mark.parametrize("fn", ["_rp62_none", "_rp62_cubic"])
+def test_fib_f62_device_rp62_matches_host(fn):
+    from tests.isolation import run_isolated
+
+    run_isolated("tests.test_rp62_device", fn, "RP62_PIN_OK")
+
+
+def _rp62_partitioned_check():
     from winterfell_tpu.air.options import PartitionOptions
 
     options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7,
@@ -100,3 +120,10 @@ def test_fib_f62_device_rp62_partitioned_matches_host():
         _trace())
     assert dev.to_bytes() == host.to_bytes()
     verify(FibF62Air, dev, host_prover.get_pub_inputs(_trace()), H.Rp62_248)
+
+
+def test_fib_f62_device_rp62_partitioned_matches_host():
+    from tests.isolation import run_isolated
+
+    run_isolated("tests.test_rp62_device", "_rp62_partitioned_check",
+                 "RP62_PIN_OK")
