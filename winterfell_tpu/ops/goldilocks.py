@@ -67,14 +67,9 @@ _USE_PALLAS = _os.environ.get("WINTER_PALLAS", "1") not in ("", "0")
 def _pallas_hashing(m: int) -> bool:
     # 8 sublanes x 128-aligned lanes per (8, blk) tile of the per-lane
     # layout; above one 512-lane grid block, m/8 must tile into whole
-    # blocks (the kernel grid would silently skip a remainder).
-    # The 2^15 floor keeps small batches on the XLA-emulated path: each
-    # pallas_call embeds its own serialized Mosaic kernel in the compiled
-    # executable, and the resident whole-proof program contains ~40 merge/
-    # hash call sites (one per Merkle level shape) — small levels are
-    # milliseconds of work but megabytes of executable, and executable
-    # LOAD time is what killed two rounds of driver benches.
-    return (_USE_PALLAS and m >= (1 << 15) and m % 4096 == 0
+    # blocks (the kernel grid would silently skip a remainder)
+    return (_USE_PALLAS and m % 1024 == 0
+            and (m <= 4096 or m % 4096 == 0)
             and jax.default_backend() == "tpu")
 
 
