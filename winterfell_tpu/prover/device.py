@@ -219,6 +219,11 @@ _PULL_THRESHOLD = 1 << 16
 # so fetches fall back to per-level gathers/pulls
 _HEAP_FLAT_LIMIT = 1 << 22
 
+# ...but only PRE-build the flat heap at tree-commit time for trees at or
+# below this leaf count (larger heaps build lazily at query time, when the
+# commit/DEEP/FRI temporaries are already freed — peak-memory discipline)
+_FLAT_PREDISPATCH = 1 << 20
+
 
 class _DigestView:
     """List-of-bytes view over an (n, w) word-array of digests: (n, 4) uint64
@@ -1570,10 +1575,14 @@ class GoldilocksProver(Prover):
             self.hasher)
         if leaves.shape[0] <= _TREE_PREFETCH:
             tree.prefetch_async()
-        elif leaves.shape[0] <= _HEAP_FLAT_LIMIT:
+        elif leaves.shape[0] <= _FLAT_PREDISPATCH:
             # pre-dispatch the flat-heap concat now so its ~log(m) small
             # programs overlap the remaining prove compute instead of
-            # serializing into the query phase
+            # serializing into the query phase. Gated tighter than
+            # _HEAP_FLAT_LIMIT: pre-building 2^22-leaf heaps during the
+            # commit phases cost the residency margin that OOMed the
+            # 2^22-trace proof (r4_fib22.err) — big heaps build lazily at
+            # query time instead, after the DEEP/FRI temps are freed.
             tree.nodes._flat_nodes()
         return tree
 

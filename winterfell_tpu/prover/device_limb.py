@@ -1090,10 +1090,11 @@ class LimbFieldProver(Prover):
         if leaves.shape[0] <= _TREE_PREFETCH:
             tree.prefetch_async()
         else:
-            from .device import _HEAP_FLAT_LIMIT
+            from .device import _FLAT_PREDISPATCH
 
-            if leaves.shape[0] <= _HEAP_FLAT_LIMIT:
+            if leaves.shape[0] <= _FLAT_PREDISPATCH:
                 # pre-dispatch the flat-heap concat to overlap compute
+                # (gated below _HEAP_FLAT_LIMIT — see device.py._make_tree)
                 tree.nodes._flat_nodes()
         return tree
 
