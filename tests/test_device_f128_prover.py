@@ -219,13 +219,15 @@ def test_lamport_aggregate_device_matches_host():
 def _huge_domain_split_check():
     """Body of the huge-domain byte-pin: force the huge-domain code paths
     (per-column LDE above _FUSE_LIMIT, slabbed DEEP combine above
-    _DEEP_SLAB_LIMB, slabbed row hashing) at a CPU-testable size — proof
-    bytes must stay identical to the host prover."""
-    from winterfell_tpu.prover import device_limb
+    _DEEP_SLAB_LIMB, slabbed row hashing, per-row dynamic-slice query
+    gathers above _TAKE_SLICE_LIMIT) at a CPU-testable size — proof bytes
+    must stay identical to the host prover."""
+    from winterfell_tpu.prover import device, device_limb
 
     device_limb._FUSE_LIMIT = 1
     device_limb._DEEP_SLAB_LIMB = 256
     device_limb._HASH_SLAB = 512
+    device._TAKE_SLICE_LIMIT = 64
 
     options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
     host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 256))

@@ -179,11 +179,30 @@ def _flat_take(flat, word_idx: np.ndarray) -> np.ndarray:
     return np.asarray(_flat_take_start(flat, word_idx))[:k]
 
 
+# above this many words, a row gather takes each row by a shared
+# dynamic-slice program instead of building a flat copy of the whole array:
+# the flat copy of a 2^25-point LDE (plus its relayout temps) is what
+# OOMed the 2^22-trace proof (r4_fib22.err); single-row slices cost zero
+# extra residency and ~a dispatch per row (irrelevant at that scale)
+_TAKE_SLICE_LIMIT = 1 << 26
+
+
+@jax.jit
+def _row_slice(arr, idx):
+    return jax.lax.dynamic_index_in_dim(arr, idx, axis=0, keepdims=False)
+
+
 def _padded_take_start(arr, indexes, batch=None):
     """Dispatch (async) the row gather of :func:`_padded_take`; returns the
     on-device padded result (finish with :func:`_padded_take_finish`)."""
     row_shape = arr.shape[1:]
     rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
+    if arr.shape[0] * rw > _TAKE_SLICE_LIMIT:
+        rows = [_row_slice(arr, np.int32(i)) for i in indexes]
+        for r in rows:
+            if hasattr(r, "copy_to_host_async"):
+                r.copy_to_host_async()
+        return ("rows", rows)
     word_idx = (np.asarray(indexes, dtype=np.int64)[:, None] * rw
                 + np.arange(rw, dtype=np.int64)[None, :]).reshape(-1)
     return _flat_take_start(_to_flat(arr), word_idx, batch)
@@ -192,6 +211,8 @@ def _padded_take_start(arr, indexes, batch=None):
 def _padded_take_finish(dev, k: int, row_shape) -> np.ndarray:
     if isinstance(dev, _BatchTok):
         dev = dev.resolve()
+    if isinstance(dev, tuple) and dev[0] == "rows":
+        return np.stack([np.asarray(r) for r in dev[1]])[:k]
     rw = int(np.prod(row_shape, dtype=np.int64)) if row_shape else 1
     return np.asarray(dev)[: k * rw].reshape((k,) + tuple(row_shape))
 
