@@ -52,6 +52,57 @@ class BatchMerkleProof:
     nodes: List[List[bytes]]
     depth: int
 
+    @classmethod
+    def from_single_proofs(
+        cls, proofs: List[Tuple[bytes, List[bytes]]], indexes: List[int]
+    ) -> "BatchMerkleProof":
+        """Builds a batch proof from individual ``MerkleTree.prove``
+        openings (proofs.rs:38-99): sort by index, then drop every sibling
+        digest that the opened leaves make recomputable — at the leaf
+        level a queried sibling replaces the path node, at higher levels
+        two openings that converge on sibling internal nodes merge."""
+        if not proofs:
+            raise MerkleTreeError("at least one proof must be provided")
+        if len(proofs) != len(indexes):
+            raise MerkleTreeError("number of proofs must equal number of indexes")
+        depth = len(proofs[0][1])
+        by_index = {}
+        for index, proof in zip(indexes, proofs):
+            if len(proof[1]) != depth:
+                raise MerkleTreeError("not all proofs have the same length")
+            by_index[index] = proof
+        idxs = sorted(by_index)
+        prfs = [by_index[i] for i in idxs]
+
+        nodes: List[List[bytes]] = []
+        proof_map: Dict[int, Tuple[bytes, List[bytes]]] = {}
+        i = 0
+        while i < len(idxs):
+            if i + 1 < len(idxs) and _are_siblings(idxs[i], idxs[i + 1]):
+                nodes.append([])
+                i += 1  # queried sibling pair: leaf recomputable, no node
+            else:
+                nodes.append([prfs[i][1][0]])
+            proof_map[idxs[i] >> 1] = prfs[i]
+            i += 1
+
+        for d in range(1, depth):
+            layer = sorted(proof_map)
+            next_map: Dict[int, Tuple[bytes, List[bytes]]] = {}
+            i = 0
+            while i < len(layer):
+                index = layer[i]
+                proof = proof_map[index]
+                if i + 1 < len(layer) and _are_siblings(index, layer[i + 1]):
+                    i += 1  # openings converge: internal sibling recomputable
+                else:
+                    nodes[i].append(proof[1][d])
+                next_map[index >> 1] = proof
+                i += 1
+            proof_map = next_map
+
+        return cls(nodes=nodes, depth=depth)
+
     def get_root(self, indexes: List[int], leaves: List[bytes], hasher) -> bytes:
         """Reconstructs the root (proofs.rs:103-236)."""
         if not indexes:
