@@ -70,10 +70,43 @@ def test_heap_view_flat_branch():
 
 
 def test_heap_view_bysize_fallback(monkeypatch):
-    # _HEAP_FLAT_LIMIT below the leaf count forces the by-size path,
-    # where fetch_start returns None and finish resolves synchronously
+    # _HEAP_FLAT_LIMIT below the leaf count forces the by-size path, which
+    # returns a per-level token: big levels get a pre-dispatched padded
+    # gather, small levels resolve from host pulls at finish time
     view, levels = _heap_views(64, monkeypatch, flat_limit=16)
+    monkeypatch.setattr(dv, "_PULL_THRESHOLD", 8)
     nodes = [1, 2, 5, 17, 33, 63]
+    tok = view.fetch_start(nodes)
+    assert isinstance(tok, tuple) and tok[0] == "levels"
+    assert 16 in tok[2] and 32 in tok[2]  # big levels really dispatched
+    got = view.fetch_finish(tok, nodes)
+    for i in nodes:
+        size = 1 << (i.bit_length() - 1)
+        want = np.asarray(levels[size]).astype("<u8")[i - size].tobytes()
+        assert got[i] == want
+
+
+def test_heap_view_bysize_batched(monkeypatch):
+    # same per-level route but folded into the shared one-program batch
+    view, levels = _heap_views(64, monkeypatch, flat_limit=16)
+    monkeypatch.setattr(dv, "_PULL_THRESHOLD", 8)
+    gb = dv._GatherBatch()
+    nodes = [1, 2, 5, 17, 33, 63]
+    tok = view.fetch_start(nodes, gb)
+    assert isinstance(tok, tuple) and tok[0] == "levels"
+    assert all(isinstance(t, dv._BatchTok) for t in tok[2].values())
+    got = view.fetch_finish(tok, nodes)
+    for i in nodes:
+        size = 1 << (i.bit_length() - 1)
+        want = np.asarray(levels[size]).astype("<u8")[i - size].tobytes()
+        assert got[i] == want
+
+
+def test_heap_view_small_fetch_stays_synchronous(monkeypatch):
+    # <= 4 nodes keep the tok=None synchronous fallback (not worth a
+    # dispatch round)
+    view, levels = _heap_views(64, monkeypatch, flat_limit=16)
+    nodes = [1, 33]
     tok = view.fetch_start(nodes)
     assert tok is None
     got = view.fetch_finish(tok, nodes)

@@ -390,12 +390,50 @@ class _HeapNodesView:
             word_idx = ((np.asarray(nodes, dtype=np.int64) - 1)[:, None] * w
                         + np.arange(w, dtype=np.int64)).reshape(-1)
             return _flat_take_start(self._flat_nodes(), word_idx, batch)
+        if len(nodes) > 4:
+            # huge trees (> _HEAP_FLAT_LIMIT leaves): no whole-heap flat copy
+            # (its relayout temps OOM 2^25-leaf domains) — instead dispatch
+            # ONE padded gather per big level now (folding into the shared
+            # query-phase batch when given) and start async host copies of
+            # the small levels, so finish-time work is pure conversion
+            by_size = {}
+            for k, i in enumerate(nodes):
+                size = 1 << (int(i).bit_length() - 1)
+                by_size.setdefault(size, []).append((k, int(i) - size))
+            toks = {}
+            for size, entries in by_size.items():
+                if size <= _PULL_THRESHOLD:
+                    lvl = self.levels[size]
+                    if (size not in self._host_levels
+                            and hasattr(lvl, "copy_to_host_async")):
+                        lvl.copy_to_host_async()
+                else:
+                    toks[size] = _padded_take_start(
+                        self.levels[size], [off for _, off in entries],
+                        batch)
+            return ("levels", by_size, toks)
         return None
 
     def _take_finish(self, tok, nodes) -> np.ndarray:
         w = self._w
         if isinstance(tok, _BatchTok):
             tok = tok.resolve()
+        if isinstance(tok, tuple) and tok[0] == "levels":
+            _, by_size, toks = tok
+            out = np.empty((len(nodes), w), dtype=self._wdtype)
+            for size, entries in by_size.items():
+                lvl_tok = toks.get(size)
+                if lvl_tok is None:
+                    host = self._host_level(size)
+                    for k, off in entries:
+                        out[k] = host[off]
+                else:
+                    rows = _padded_take_finish(
+                        lvl_tok, len(entries), self.levels[size].shape[1:])
+                    rows = np.ascontiguousarray(rows.astype(self._wdtype))
+                    for j, (k, _) in enumerate(entries):
+                        out[k] = rows[j]
+            return out
         if tok is not None:
             rows = np.asarray(tok)[: len(nodes) * w]
             return np.ascontiguousarray(
