@@ -244,3 +244,36 @@ def test_fib_device_huge_domain_split_matches_host():
 
     run_isolated("tests.test_device_f128_prover", "_huge_domain_split_check",
                  "HUGE_DOMAIN_PIN_OK")
+
+
+def _slabbed_ce_check():
+    """CE slab-scan path (wide-AIR compile-memory fix, round 5): forcing
+    _CE_SLAB_BUDGET to 1 routes every CE program through the lax.scan row
+    slabs; bytes must still match the host prover exactly — covers both a
+    plain AIR (fib) and an aux-segment AIR (rescue_raps)."""
+    from winterfell_tpu.prover import device_limb
+
+    device_limb._CE_SLAB_BUDGET = 1
+    device_limb._CE_SLAB_ROWS = 64
+
+    options = ProofOptions(28, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    host = FibProver(options, Blake3_256).prove(build_fib_trace(F128, 512))
+    dev = F128FibProver(options, Blake3_256).prove(build_fib_trace(F128, 512))
+    assert dev.to_bytes() == host.to_bytes()
+
+    seeds = [(i * 2 + 1, i * 2 + 2) for i in range(8)]
+    permuted = seeds[2:] + seeds[:2]
+    host_prover = RescueRapsProver(options, Blake3_256)
+    pub = host_prover.get_pub_inputs(build_raps_trace(seeds, permuted))
+    host = host_prover.prove(build_raps_trace(seeds, permuted))
+    dev = F128Prover.accelerate(RescueRapsProver)(options, Blake3_256).prove(
+        build_raps_trace(seeds, permuted))
+    assert dev.to_bytes() == host.to_bytes()
+    verify(RescueRapsAir, dev, pub, Blake3_256)
+
+
+def test_slabbed_ce_matches_host():
+    from tests.isolation import run_isolated
+
+    run_isolated("tests.test_device_f128_prover", "_slabbed_ce_check",
+                 "SLAB_CE_PIN_OK")

@@ -510,6 +510,18 @@ def _fused_fri_fn(eng, hash_fn, levels_fn, dw: int, coin_kind: str, d: int,
 # accumulation + row-slabbed inversion/combine programs (see _deep_evaluations)
 _DEEP_SLAB_LIMB = 1 << 21
 
+# CE programs whose pointwise working set exceeds _CE_SLAB_BUDGET limb-words
+# compile as a lax.scan over row slabs of _CE_SLAB_ROWS: wide AIRs (lamport's
+# 22 columns over a multi-million-point CE domain) otherwise hold hundreds of
+# domain-sized temporaries live at once, which OOM-killed the remote compile
+# helper (.tpu_logs/r4_lamport256.err). The scan body compiles ONCE at slab
+# shapes; sequence-boundary value-poly NTTs stay whole-domain outside the
+# scan. Results are bit-identical (exact integer field arithmetic).
+_CE_SLAB_ROWS = int(
+    __import__("os").environ.get("WINTER_CE_SLAB", str(1 << 15)))
+_CE_SLAB_BUDGET = int(
+    __import__("os").environ.get("WINTER_CE_BUDGET", str(1 << 26)))
+
 
 @partial(jax.jit, static_argnums=(5,))
 def _deep_combine_limb_scan(comp_z, comp_gz, z_arr, zg_arr, xs, eng):
@@ -1274,71 +1286,27 @@ class LimbFieldProver(Prover):
              [c.column for c in g.constraints if len(c.poly) > 1])
             for g in boundary.aux_groups]
 
+        # wide AIRs over big CE domains scan the pointwise evaluation in row
+        # slabs (see _CE_SLAB_ROWS); the sequence-boundary value-poly NTTs
+        # stay whole-domain, computed once before the scan
+        main_w = air.trace_info.main_segment_width
+        aux_w = air.trace_info.aux_segment_width
+        n_slabs = 1
+        if (ce * (main_w + max(aux_w, 1) * d) * NL > _CE_SLAB_BUDGET
+                and ce > _CE_SLAB_ROWS):
+            n_slabs = ce // _CE_SLAB_ROWS
+
         def run(main_ce, main_ce_next, aux_ce, aux_ce_next, t_ccs,
                 aux_rands, main_packed, aux_packed, consts):
             t_div_inv, main_consts, aux_consts, periodic_dev, plan_ce = consts
-            base_ops = jax_ops_cls(Field(base, 1))
-            frame = EvaluationFrame(
-                [main_ce[:, c : c + 1] for c in range(main_ce.shape[1])],
-                [main_ce_next[:, c : c + 1] for c in range(main_ce.shape[1])])
-            main_evals = air.evaluate_transition(frame, periodic_dev, base_ops)
 
-            combined = jnp.zeros((ce, d, NL), dtype=jnp.uint64)
-            for i, ev in enumerate(main_evals):
-                combined = eng.ext_add(
-                    combined, eng.base_mul(ev, t_ccs[i][None]))
-
-            if aux_ce is not None:
-                ext_ops = jax_ops_cls(ext)
-                lift = lambda a: jnp.pad(a, ((0, 0), (0, d - 1), (0, 0)))
-                main_frame_ext = EvaluationFrame(
-                    [lift(main_ce[:, c : c + 1])
-                     for c in range(main_ce.shape[1])],
-                    [lift(main_ce_next[:, c : c + 1])
-                     for c in range(main_ce.shape[1])])
-                periodic_ext = [lift(pv) for pv in periodic_dev]
-                aux_frame = EvaluationFrame(
-                    [aux_ce[:, c] for c in range(aux_ce.shape[1])],
-                    [aux_ce_next[:, c] for c in range(aux_ce.shape[1])])
-                rand_list = [aux_rands[i][None]
-                             for i in range(aux_rands.shape[0])]
-                aux_evals = air.evaluate_aux_transition(
-                    main_frame_ext, aux_frame, periodic_ext, rand_list,
-                    ext_ops)
-                for i, ev in enumerate(aux_evals):
-                    combined = eng.ext_add(
-                        combined,
-                        eng.ext_mul(ev, jnp.broadcast_to(
-                            t_ccs[n_main + i][None], ev.shape)))
-
-            result = eng.ext_mul_base(combined, t_div_inv)
-
-            def add_groups(cols, group_consts_l, packed, trace, is_ext):
-                nonlocal result
-                for (s_cols, q_cols), (div_inv, scales), \
-                        (s_ccs, s_vals, q_ccs, q_coeffs) in zip(
-                            cols, group_consts_l, packed):
-                    numer = jnp.zeros((ce, d, NL), dtype=jnp.uint64)
-                    for j, col in enumerate(s_cols):
-                        if is_ext:
-                            diff = eng.ext_sub(
-                                trace[:, col],
-                                jnp.broadcast_to(s_vals[j][None], (ce, d, NL)))
-                            numer = eng.ext_add(numer, eng.ext_mul(
-                                diff, jnp.broadcast_to(s_ccs[j][None],
-                                                       diff.shape)))
-                        else:
-                            col_vals = trace[:, col : col + 1]  # (ce, 1, L)
-                            diff = eng.base_sub(
-                                col_vals,
-                                jnp.broadcast_to(s_vals[j][None],
-                                                 col_vals.shape))
-                            numer = eng.ext_add(
-                                numer, eng.base_mul(diff, s_ccs[j][None]))
-                    if q_cols:
-                        # batched sequence value polys: zero-pad the (L, k)
-                        # coefficient block to the CE size, scale by the
-                        # per-column (offset·poly_offset)^i series, one NTT
+            def group_bvals(packed, gconsts):
+                """Per group: sequence value polys evaluated over the whole
+                CE domain — zero-pad the (L, k) coefficient block, scale by
+                the per-column (offset·poly_offset)^i series, one NTT."""
+                out = []
+                for (_, _, _, q_coeffs), (_, scales) in zip(packed, gconsts):
+                    if q_coeffs.shape[1]:
                         L, k, vd = q_coeffs.shape[:3]
                         padded = jnp.concatenate(
                             [q_coeffs,
@@ -1346,10 +1314,82 @@ class LimbFieldProver(Prover):
                                        dtype=jnp.uint64)],
                             axis=0)
                         scaled = eng.base_mul(padded, scales[:, :, None, :])
-                        b_vals = eng.ntt_evaluate_body(scaled, plan_ce, ce)
+                        out.append(eng.ntt_evaluate_body(scaled, plan_ce, ce))
+                    else:
+                        out.append(None)
+                return out
+
+            main_bvals = group_bvals(main_packed, main_consts)
+            aux_bvals = group_bvals(aux_packed, aux_consts)
+
+            def pointwise(m_ce, m_next, a_ce, a_next, div_t, periodic,
+                          m_divs, m_bvals, a_divs, a_bvals):
+                rows = m_ce.shape[0]
+                base_ops = jax_ops_cls(Field(base, 1))
+                frame = EvaluationFrame(
+                    [m_ce[:, c : c + 1] for c in range(m_ce.shape[1])],
+                    [m_next[:, c : c + 1] for c in range(m_ce.shape[1])])
+                main_evals = air.evaluate_transition(frame, periodic,
+                                                     base_ops)
+
+                combined = jnp.zeros((rows, d, NL), dtype=jnp.uint64)
+                for i, ev in enumerate(main_evals):
+                    combined = eng.ext_add(
+                        combined, eng.base_mul(ev, t_ccs[i][None]))
+
+                if a_ce is not None:
+                    ext_ops = jax_ops_cls(ext)
+                    lift = lambda a: jnp.pad(a, ((0, 0), (0, d - 1), (0, 0)))
+                    main_frame_ext = EvaluationFrame(
+                        [lift(m_ce[:, c : c + 1])
+                         for c in range(m_ce.shape[1])],
+                        [lift(m_next[:, c : c + 1])
+                         for c in range(m_ce.shape[1])])
+                    periodic_ext = [lift(pv) for pv in periodic]
+                    aux_frame = EvaluationFrame(
+                        [a_ce[:, c] for c in range(a_ce.shape[1])],
+                        [a_next[:, c] for c in range(a_ce.shape[1])])
+                    rand_list = [aux_rands[i][None]
+                                 for i in range(aux_rands.shape[0])]
+                    aux_evals = air.evaluate_aux_transition(
+                        main_frame_ext, aux_frame, periodic_ext, rand_list,
+                        ext_ops)
+                    for i, ev in enumerate(aux_evals):
+                        combined = eng.ext_add(
+                            combined,
+                            eng.ext_mul(ev, jnp.broadcast_to(
+                                t_ccs[n_main + i][None], ev.shape)))
+
+                result = eng.ext_mul_base(combined, div_t)
+
+                def add_groups(cols, divs, bvals, packed, trace, is_ext):
+                    nonlocal result
+                    for (s_cols, q_cols), div_inv, b_vals, \
+                            (s_ccs, s_vals, q_ccs, _) in zip(
+                                cols, divs, bvals, packed):
+                        numer = jnp.zeros((rows, d, NL), dtype=jnp.uint64)
+                        for j, col in enumerate(s_cols):
+                            if is_ext:
+                                diff = eng.ext_sub(
+                                    trace[:, col],
+                                    jnp.broadcast_to(s_vals[j][None],
+                                                     (rows, d, NL)))
+                                numer = eng.ext_add(numer, eng.ext_mul(
+                                    diff, jnp.broadcast_to(s_ccs[j][None],
+                                                           diff.shape)))
+                            else:
+                                col_vals = trace[:, col : col + 1]
+                                diff = eng.base_sub(
+                                    col_vals,
+                                    jnp.broadcast_to(s_vals[j][None],
+                                                     col_vals.shape))
+                                numer = eng.ext_add(
+                                    numer,
+                                    eng.base_mul(diff, s_ccs[j][None]))
                         for j, col in enumerate(q_cols):
                             if is_ext:
-                                diff = eng.ext_sub(trace[:, col], b_vals[:, j])
+                                diff = eng.ext_sub(trace[:, col],
+                                                   b_vals[:, j])
                                 numer = eng.ext_add(numer, eng.ext_mul(
                                     diff, jnp.broadcast_to(q_ccs[j][None],
                                                            diff.shape)))
@@ -1357,14 +1397,47 @@ class LimbFieldProver(Prover):
                                 diff = eng.base_sub(trace[:, col : col + 1],
                                                     b_vals[:, j])
                                 numer = eng.ext_add(
-                                    numer, eng.base_mul(diff, q_ccs[j][None]))
-                    result = eng.ext_add(result,
-                                         eng.ext_mul_base(numer, div_inv))
+                                    numer,
+                                    eng.base_mul(diff, q_ccs[j][None]))
+                        result = eng.ext_add(
+                            result, eng.ext_mul_base(numer, div_inv))
 
-            add_groups(main_cols, main_consts, main_packed, main_ce, False)
-            if aux_ce is not None:
-                add_groups(aux_cols, aux_consts, aux_packed, aux_ce, True)
-            return result
+                add_groups(main_cols, m_divs, m_bvals, main_packed, m_ce,
+                           False)
+                if a_ce is not None:
+                    add_groups(aux_cols, a_divs, a_bvals, aux_packed, a_ce,
+                               True)
+                return result
+
+            m_divs = [dv for dv, _ in main_consts]
+            a_divs = [dv for dv, _ in aux_consts]
+            if n_slabs == 1:
+                return pointwise(main_ce, main_ce_next, aux_ce, aux_ce_next,
+                                 t_div_inv, periodic_dev, m_divs, main_bvals,
+                                 a_divs, aux_bvals)
+
+            def sl(a):
+                return a.reshape((n_slabs, ce // n_slabs) + a.shape[1:])
+
+            def sl_opt(a):
+                return None if a is None else sl(a)
+
+            xs = (sl(main_ce), sl(main_ce_next), sl_opt(aux_ce),
+                  sl_opt(aux_ce_next), sl(t_div_inv),
+                  [sl(p) for p in periodic_dev],
+                  [sl(dv) for dv in m_divs],
+                  [sl_opt(bv) for bv in main_bvals],
+                  [sl(dv) for dv in a_divs],
+                  [sl_opt(bv) for bv in aux_bvals])
+
+            def body(carry, x):
+                (m_ce, m_next, a_ce, a_next, div_t, periodic, mdv, mbv,
+                 adv, abv) = x
+                return carry, pointwise(m_ce, m_next, a_ce, a_next, div_t,
+                                        periodic, mdv, mbv, adv, abv)
+
+            _, out = jax.lax.scan(body, 0, xs)
+            return out.reshape((ce,) + out.shape[2:])
 
         fn = jax.jit(run)
         cache[key] = (fn, consts)
