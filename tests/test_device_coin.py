@@ -17,6 +17,7 @@ import jax.numpy as jnp  # noqa: E402
 from winterfell_tpu.crypto.hashers import (  # noqa: E402
     Blake3_192,
     Blake3_256,
+    Rp62_248,
     Rp64_256,
     Sha3_256,
 )
@@ -48,6 +49,9 @@ CASES = [
     ("sha3_256", Sha3_256, Field(F128, 2), "f128"),
     ("blake3_256", Blake3_256, Field(F64, 3), "f64"),
     ("rp64_256", Rp64_256, Field(F64, 3), "f64"),
+    ("rp62_248", Rp62_248, Field(F62, 1), "f62"),
+    ("rp62_248", Rp62_248, Field(F62, 2), "f62"),
+    ("rp62_248", Rp62_248, Field(F62, 3), "f62"),
 ]
 
 
@@ -66,6 +70,17 @@ def test_merge_matches_host(kind, hasher, field, eng_name):
                 rng.randrange(F64.p).to_bytes(8, "little") for _ in range(4))
             sa, sb = dc.seed_to_u64(a), dc.seed_to_u64(b)
             got = dc.u64_to_seed(merge(jnp.asarray(sa), jnp.asarray(sb)))
+        elif kind == "rp62_248":
+            # packed element digests; merge's `other` is a Merkle-root row in
+            # the (8,) uint32 packed word layout the tree kernels emit
+            from winterfell_tpu.crypto.hashers import _rp62_digest
+
+            a = _rp62_digest([rng.randrange(F62.p) for _ in range(4)])[:31]
+            b = _rp62_digest([rng.randrange(F62.p) for _ in range(4)])[:31]
+            sa = dc.seed_to_state(kind, a)
+            b_words = np.frombuffer(b + b"\x00", dtype="<u4").copy()
+            got = dc.state_to_seed(
+                kind, merge(jnp.asarray(sa), jnp.asarray(b_words)))
         else:
             sa, sb = dc.seed_to_words(a), dc.seed_to_words(b)
             got = dc.words_to_seed(merge(jnp.asarray(sa), jnp.asarray(sb)))
@@ -80,10 +95,7 @@ def test_draw_matches_host(kind, hasher, field, eng_name):
     coin = _host_coin(hasher, seed_elems, Field(field.base, 1))
     # several sequential draws exercise the counter chaining + rejections
     # (f62 components reject ~76% of candidates)
-    if kind == "rp64_256":
-        seed_dev = jnp.asarray(dc.seed_to_u64(coin.seed))
-    else:
-        seed_dev = jnp.asarray(dc.seed_to_words(coin.seed))
+    seed_dev = jnp.asarray(dc.seed_to_state(kind, coin.seed))
     counter = jnp.asarray(np.uint64(coin.counter))
     for _ in range(6):
         want = coin.draw(field)

@@ -61,6 +61,43 @@ def u64_to_seed(vals) -> bytes:
     return np.ascontiguousarray(np.asarray(vals).astype("<u8")).tobytes()
 
 
+def rp62_seed_to_limbs(seed: bytes) -> np.ndarray:
+    """31-byte packed Rp62_248 digest -> (4, 2) uint64 32-bit-limb digest
+    elements (digest.rs:36-50 unpacking)."""
+    v = int.from_bytes(seed + b"\x00" * (32 - len(seed)), "little")
+    mask = (1 << 62) - 1
+    elems = [(v >> (62 * i)) & mask for i in range(4)]
+    return np.array([[e & 0xFFFFFFFF, e >> 32] for e in elems],
+                    dtype=np.uint64)
+
+
+def rp62_limbs_to_seed(limbs) -> bytes:
+    """(4, 2) uint64 limb digest elements -> 31 packed digest bytes."""
+    arr = np.asarray(limbs).astype(np.uint64)
+    v = 0
+    for i in range(4):
+        v |= (int(arr[i, 0]) | (int(arr[i, 1]) << 32)) << (62 * i)
+    return v.to_bytes(32, "little")[:31]
+
+
+def seed_to_state(kind: str, seed: bytes) -> np.ndarray:
+    """Host coin seed bytes -> the device coin-state layout for ``kind``."""
+    if kind == "rp62_248":
+        return rp62_seed_to_limbs(seed)
+    if kind == "rp64_256":
+        return seed_to_u64(seed)
+    return seed_to_words(seed)
+
+
+def state_to_seed(kind: str, state) -> bytes:
+    """Device coin state -> host coin seed bytes (inverse of seed_to_state)."""
+    if kind == "rp62_248":
+        return rp62_limbs_to_seed(state)
+    if kind == "rp64_256":
+        return u64_to_seed(state)
+    return words_to_seed(state)
+
+
 # ================================================================================
 # Byte-hasher coin ops (BLAKE3_256/192, SHA3_256)
 # ================================================================================
@@ -125,6 +162,69 @@ def rp64_coin_ops():
         return gl.rp64_permutation_rows(state)[0, 4:8]
 
     return merge, next_candidate
+
+
+# ================================================================================
+# Rp62_248 coin ops (seed state = (4, 2) uint64 limb digest elements)
+# ================================================================================
+
+
+def rp62_coin_ops():
+    """Coin primitives for the Rp62_248 sponge (rp62_248/mod.rs merge /
+    merge_with_int): one permutation each. The seed travels as (4, 2)
+    32-bit-limb digest elements; ``other`` in merge is a tree-root row in
+    the packed (8,) uint32 word layout the Merkle kernels emit."""
+    from . import rp62_device as rp62
+
+    def merge(seed_l, root_words):
+        other = rp62._unpack_digest(root_words[None])[0]  # (4, 2)
+        tail = jnp.asarray(np.array(
+            [[0, 0], [0, 0], [0, 0], [8, 0]], dtype=np.uint64))
+        state = jnp.concatenate([seed_l, other, tail])[None]  # (1, 12, 2)
+        return rp62.rp62_permutation_rows(state)[0, :4]
+
+    def next_candidate(seed_l, counter):
+        # state[0..4) = seed, state[4] = value % p, state[5] = value // p,
+        # state[11] = 5 (or 6 when value >= p) — rp62_248 merge_with_int
+        counter = counter.astype(jnp.uint64)
+        p = jnp.uint64(rp62.P)
+        hi = counter // p
+        lo = counter - hi * p
+        m32 = jnp.uint64(0xFFFFFFFF)
+        s32 = jnp.uint64(32)
+        z = jnp.uint64(0)
+        cnt = jnp.uint64(5) + jnp.where(hi > z, jnp.uint64(1), z)
+        state = jnp.stack([
+            seed_l[0, 0], seed_l[0, 1], seed_l[1, 0], seed_l[1, 1],
+            seed_l[2, 0], seed_l[2, 1], seed_l[3, 0], seed_l[3, 1],
+            lo & m32, lo >> s32, hi & m32, hi >> s32,
+            z, z, z, z, z, z, z, z, z, z,
+            cnt & m32, cnt >> s32,
+        ]).reshape(12, 2)[None]
+        return rp62.rp62_permutation_rows(state)[0, :4]
+
+    return merge, next_candidate
+
+
+def rp62_ext_decoder(degree: int):
+    """Decoder for Rp62_248 candidates: the digest elements are re-PACKED to
+    the 31-byte wire layout, whose first ``8·degree`` bytes are the LE u64
+    base components the host's try_from_random_bytes reads; ok iff every
+    component is canonical (< P62)."""
+    from . import f62 as eng
+
+    def decode(dig):  # (4, 2) limb digest elements
+        v = dig[:, 0] | (dig[:, 1] << jnp.uint64(32))  # (4,) 62-bit values
+        w0 = v[0] | (v[1] << jnp.uint64(62))
+        w1 = (v[1] >> jnp.uint64(2)) | (v[2] << jnp.uint64(60))
+        w2 = (v[2] >> jnp.uint64(4)) | (v[3] << jnp.uint64(58))
+        ws = jnp.stack([w0, w1, w2])[:degree]
+        ok = jnp.all(ws < jnp.uint64(eng.P))
+        elems = jnp.stack([ws & jnp.uint64(0xFFFFFFFF),
+                           ws >> jnp.uint64(32)], axis=-1)  # (degree, 2)
+        return ok, elems
+
+    return decode
 
 
 # ================================================================================
@@ -265,7 +365,7 @@ def make_draw_k(draw, ext_mul, one_elem):
 def coin_bundle(kind: str, degree: int, eng_name: str = ""):
     """(merge, draw) for a prover configuration.
 
-    kind: 'blake3_256' | 'blake3_192' | 'sha3_256' | 'rp64_256'
+    kind: 'blake3_256' | 'blake3_192' | 'sha3_256' | 'rp64_256' | 'rp62_248'
     degree: extension degree of the draw field
     eng_name: 'f128' | 'f62' | 'f64' - selects the element limb layout
     """
@@ -273,6 +373,9 @@ def coin_bundle(kind: str, degree: int, eng_name: str = ""):
         merge, nxt = rp64_coin_ops()
         decode = u64_ext_decoder((1 << 64) - (1 << 32) + 1, degree, False)
         return merge, make_draw(nxt, decode, (degree,))
+    if kind == "rp62_248":
+        merge, nxt = rp62_coin_ops()
+        return merge, make_draw(nxt, rp62_ext_decoder(degree), (degree, 2))
     if kind in ("blake3_256", "blake3_192"):
         from . import blake3_device as b3
 

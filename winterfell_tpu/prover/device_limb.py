@@ -455,7 +455,7 @@ def _fri_layer_commit(evaluations, n_fold: int, digest_words: int, hash_fn,
 # interpolation (fri/src/prover/mod.rs:179-239) — runs as ONE program,
 # replacing ~3 host round trips per layer with a single dispatch.
 _FRI_COIN_KINDS = {Blake3_256: "blake3_256", Blake3_192: "blake3_192",
-                   Sha3_256: "sha3_256"}
+                   Sha3_256: "sha3_256", Rp62_248: "rp62_248"}
 _FRI_FUSE_LIMIT = 1 << 22  # whole-phase resident set; fall back above
 # WINTER_FUSED_FRI=0 forces the per-layer host-coin path (A/B harness)
 _FUSED_FRI_ON = __import__("os").environ.get(
@@ -718,14 +718,15 @@ class LimbFieldProver(Prover):
                 eng.fri_inv_offset_powers(lde_size // n_fold**i, n_fold,
                                           offset % eng.P)
                 for i in range(n_layers))
-            seed_w = jnp.asarray(dc.seed_to_words(channel.public_coin.seed))
+            seed_w = jnp.asarray(
+                dc.seed_to_state(coin_kind, channel.public_coin.seed))
             outs, rem_coeffs, seed_out = fn(deep_evaluations, seed_w,
                                             inv_pows)
             for transposed, leaves, levels in outs:
                 tree = self._make_tree(leaves, levels)
                 channel.commitments.raw += tree.root  # reseed ran on device
                 fri_layers.append((tree, transposed))
-            channel.public_coin.seed = dc.words_to_seed(seed_out)
+            channel.public_coin.seed = dc.state_to_seed(coin_kind, seed_out)
             channel.public_coin.counter = 0
         else:
             evaluations = deep_evaluations
@@ -861,7 +862,8 @@ class LimbFieldProver(Prover):
         run, make_consts = self._resident_bundle(air, boundary, coin_kind,
                                                  fri_opts, n_layers)
         consts = make_consts(boundary)
-        seed_w = jnp.asarray(dc.seed_to_words(channel.public_coin.seed))
+        seed_w = jnp.asarray(
+            dc.seed_to_state(coin_kind, channel.public_coin.seed))
         (main_lde, m_leaves, m_levels, comp_lde, c_leaves, c_levels,
          main_pair, comp_pair, fri_outs, rem_coeffs, seed_out) = run(
             main_dev, seed_w, consts)
@@ -887,7 +889,7 @@ class LimbFieldProver(Prover):
             tree = self._make_tree(leaves, levels)
             channel.commitments.raw += tree.root
             fri_layers.append((tree, transposed))
-        channel.public_coin.seed = dc.words_to_seed(seed_out)
+        channel.public_coin.seed = dc.state_to_seed(coin_kind, seed_out)
         channel.public_coin.counter = 0
         phases.mark("resident_pipeline", lde_domain_size=lde_size)
 
